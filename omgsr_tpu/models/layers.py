@@ -1,0 +1,184 @@
+"""Shared neural-net primitives: pure apply functions over param pytrees.
+
+Design: parameters are nested dicts whose key paths mirror the HF checkpoint
+structure of the corresponding torch modules, activations are NHWC (TPU conv
+native), conv kernels HWIO, dense kernels (in, out). Pure functions keep the
+whole model jit/pjit/vmap/grad-transparent and make LoRA injection and
+sharding annotation straight tree surgery.
+
+Numerical conventions match the torch ops the reference runs through
+diffusers (GroupNorm eps 1e-6 in VAE / 1e-5 in UNet, GELU tanh vs exact,
+etc.) — those knobs are arguments, set by each model's config.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ----------------------------------------------------------------------------
+# init helpers (torch-default-compatible: kaiming uniform, fan_in, a=sqrt(5))
+# ----------------------------------------------------------------------------
+
+
+def _kaiming_uniform_bound(fan_in: int) -> float:
+    # torch.nn.Linear/Conv2d default: U(-b, b), b = 1/sqrt(fan_in) * sqrt(3) * gain,
+    # gain for a=sqrt(5) leaky relu = sqrt(2/(1+5)) = 1/sqrt(3)  =>  b = 1/sqrt(fan_in)
+    return 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+
+def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True, dtype=jnp.float32):
+    kk, kb = jax.random.split(key)
+    b = _kaiming_uniform_bound(in_dim) * math.sqrt(3.0)
+    p = {"kernel": jax.random.uniform(kk, (in_dim, out_dim), dtype, -b, b)}
+    if use_bias:
+        bb = _kaiming_uniform_bound(in_dim)
+        p["bias"] = jax.random.uniform(kb, (out_dim,), dtype, -bb, bb)
+    return p
+
+
+def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int, use_bias: bool = True, dtype=jnp.float32):
+    kk, kb = jax.random.split(key)
+    fan_in = kh * kw * in_ch
+    b = _kaiming_uniform_bound(fan_in) * math.sqrt(3.0)
+    p = {"kernel": jax.random.uniform(kk, (kh, kw, in_ch, out_ch), dtype, -b, b)}
+    if use_bias:
+        bb = _kaiming_uniform_bound(fan_in)
+        p["bias"] = jax.random.uniform(kb, (out_ch,), dtype, -bb, bb)
+    return p
+
+
+def init_norm(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_rms_norm(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+# ----------------------------------------------------------------------------
+# apply functions
+# ----------------------------------------------------------------------------
+
+
+def dense(p, x):
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(p, x, stride: int | tuple = 1, padding="SAME", dilation: int = 1, groups: int = 1):
+    """NHWC conv. padding: "SAME", "VALID", int, or ((t,b),(l,r))."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    kernel = p["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over NHWC, statistics in fp32 (torch computes in fp32 too)."""
+    b, h, w, c = x.shape
+    orig_dtype = x.dtype
+    xg = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = xg.reshape(b, h, w, c)
+    return (xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(orig_dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["scale"].astype(jnp.float32)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def rms_norm(p, x, eps: float = 1e-6):
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps)
+    if p is not None:
+        y = y * p["scale"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def gelu(x, approximate: bool = False):
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+    scale: float = 1.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, matching diffusers' get_timestep_embedding
+    semantics (the reference's UNet consumes timestep 273 through this,
+    infer/omgsr_s_infer_model.py:75-79 via diffusers).
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = scale * emb
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([cos, sin], axis=-1)
+    else:
+        emb = jnp.concatenate([sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def nearest_upsample_2x(x):
+    """Nearest-neighbor 2x upsample on NHWC (diffusers Upsample2D interpolate)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def avg_pool_2x(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+def depthwise_conv2d(p, x, stride: int = 1, padding="SAME", dilation: int = 1):
+    """Depthwise conv; kernel stored (H, W, 1, C)."""
+    return conv2d(p, x, stride=stride, padding=padding, dilation=dilation, groups=x.shape[-1])
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))

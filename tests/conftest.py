@@ -2,16 +2,19 @@
 
 Multi-chip TPU hardware is not available in CI; sharding tests validate
 against XLA's CPU backend with 8 virtual devices (SURVEY.md §4 test strategy).
-Must run before jax initializes, hence env mutation at import time.
+
+Note: this environment's axon sitecustomize force-sets JAX_PLATFORMS=axon at
+interpreter start, so the env var is not enough — the platform must be forced
+via jax.config before first backend use. XLA_FLAGS still must be set before
+jax import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_platforms", "cpu")
