@@ -1,0 +1,124 @@
+"""OMGSR-F inference CLI — flag-compatible with the reference
+(infer/infer_omgsr_f.py:114-154).
+
+    python -m omgsr_tpu.cli.infer_omgsr_f \
+        --input_image tests/imgs --output_dir out \
+        --flux_path /ckpts/FLUX.1-dev --lora_path /ckpts/omgsr_f \
+        --process_size 1024 --upscale 4 --mid_timestep 244
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omgsr_tpu.cli.infer_omgsr_s import collect_images, load_adapter_dir
+from omgsr_tpu.cli.prompts import encode_prompt_flux, load_prompt_npz
+from omgsr_tpu.convert import port_diffusers_vae, port_flux_transformer
+from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+from omgsr_tpu.lora import merge_lora
+from omgsr_tpu.ops.color import adain_color_fix, wavelet_color_fix
+from omgsr_tpu.utils.dtypes import resolve_dtype
+from omgsr_tpu.utils.image_io import (
+    array01_to_pil,
+    finalize_output,
+    load_image_rgb,
+    pil_to_array_01,
+    pil_to_array_pm1,
+    prepare_input,
+)
+
+
+def build_pipeline(args, dtype):
+    from omgsr_tpu.convert.hf_config import flux_config_from_json, vae_config_from_json
+
+    vae_dir = os.path.join(args.flux_path, "vae")
+    flux_dir = os.path.join(args.flux_path, "transformer")
+    vae_cfg = vae_config_from_json(vae_dir)
+    flux_cfg = flux_config_from_json(flux_dir)
+    vae_params = port_diffusers_vae(vae_dir, cfg=vae_cfg, dtype=dtype)
+    flux_params = port_flux_transformer(flux_dir, cfg=flux_cfg, dtype=dtype)
+    if args.lora_path:
+        # reference adapter names: train/train_omgsr_f.py:150,176
+        vae_ad = os.path.join(args.lora_path, "vae_encoder_adapter")
+        flux_ad = os.path.join(args.lora_path, "flux_adapter")
+        if os.path.isdir(vae_ad):
+            vae_params["encoder"] = merge_lora(vae_params["encoder"], load_adapter_dir(vae_ad))
+        if os.path.isdir(flux_ad):
+            flux_params = merge_lora(flux_params, load_adapter_dir(flux_ad))
+    return OMGSRFPipeline(
+        vae_params,
+        flux_params,
+        vae_cfg,
+        flux_cfg,
+        mid_timestep=args.mid_timestep,
+        guidance_scale=args.guidance_scale,
+    )
+
+
+def main(args):
+    dtype = resolve_dtype(args.weight_dtype)
+    if args.prompt_npz:
+        d = load_prompt_npz(args.prompt_npz)
+        prompt_embeds = d["prompt_embeds"].astype(dtype)
+        pooled = d["pooled_prompt_embeds"].astype(dtype)
+    else:
+        prompt_embeds, pooled, _ = encode_prompt_flux(args.flux_path, args.prompt, dtype=dtype)
+
+    pipe = build_pipeline(args, dtype)
+    image_names = collect_images(args.input_image)
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f"There are {len(image_names)} images.")
+
+    tile_size = args.process_size // 8
+    tile_overlap = tile_size // 2
+    total_time = 0.0
+    for i, name in enumerate(image_names):
+        img = load_image_rgb(name)
+        inp, resize_flag, orig = prepare_input(img, args.process_size, args.upscale)
+        lq = jnp.asarray(pil_to_array_pm1(inp), dtype)
+        t0 = time.time()
+        out = pipe(lq, prompt_embeds, pooled, tile_size, tile_overlap, rng=jax.random.key(i))
+        out = jax.block_until_ready(out)
+        dt = time.time() - t0
+        total_time += dt
+        print(f"Inference time per image: {dt}s")
+
+        out01 = np.asarray(out, np.float32) * 0.5 + 0.5
+        if args.align_method in ("adain", "wavelet"):
+            src01 = jnp.asarray(pil_to_array_01(inp))
+            fix = adain_color_fix if args.align_method == "adain" else wavelet_color_fix
+            out01 = np.asarray(fix(jnp.asarray(out01), src01))
+        out_pil = array01_to_pil(out01)
+        out_pil = finalize_output(out_pil, resize_flag, orig, args.upscale)
+        bname = os.path.basename(name).split(".")[0] + ".png"
+        out_pil.save(os.path.join(args.output_dir, bname))
+
+    print(f"Average inference time: {total_time / max(len(image_names), 1)}s")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="OMGSR-F Inference Script (TPU)")
+    parser.add_argument("--input_image", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--flux_path", type=str, required=True)
+    parser.add_argument("--lora_path", type=str, default=None)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--process_size", type=int, default=1024)
+    parser.add_argument("--upscale", type=int, default=4)
+    parser.add_argument("--align_method", type=str, default="adain", choices=["wavelet", "adain", "nofix"])
+    parser.add_argument("--weight_dtype", type=str, default="bf16", choices=["fp32", "fp16", "bf16"])
+    parser.add_argument("--prompt", type=str, default="")
+    parser.add_argument("--prompt_npz", type=str, default=None)
+    parser.add_argument("--mid_timestep", type=int, default=244)
+    parser.add_argument("--guidance_scale", type=float, default=1.0)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

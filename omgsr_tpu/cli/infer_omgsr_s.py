@@ -1,0 +1,144 @@
+"""OMGSR-S inference CLI — flag-compatible with the reference
+(infer/infer_omgsr_s.py:112-149).
+
+    python -m omgsr_tpu.cli.infer_omgsr_s \
+        --input_image tests/imgs --output_dir out \
+        --sd_path /ckpts/stable-diffusion-2-1-base --lora_path /ckpts/omgsr_s \
+        --upscale 4 --align_method adain --mid_timestep 273
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omgsr_tpu.cli.prompts import encode_prompt_sd, load_prompt_npz
+from omgsr_tpu.convert import port_diffusers_unet, port_diffusers_vae
+from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
+from omgsr_tpu.lora import import_peft_adapter, load_adapter, merge_lora
+from omgsr_tpu.ops.color import adain_color_fix, wavelet_color_fix
+from omgsr_tpu.utils.dtypes import resolve_dtype
+from omgsr_tpu.utils.image_io import (
+    array01_to_pil,
+    finalize_output,
+    load_image_rgb,
+    pil_to_array_01,
+    pil_to_array_pm1,
+    prepare_input,
+)
+
+
+def collect_images(input_image: str) -> list[str]:
+    """Reference path semantics: .txt list, directory glob, or single file
+    (infer/infer_omgsr_s.py:54-62)."""
+    if ".txt" in input_image:
+        with open(input_image) as f:
+            return [l.strip() for l in f.readlines()]
+    if os.path.isdir(input_image):
+        return sorted(
+            glob.glob(f"{input_image}/*.png")
+            + glob.glob(f"{input_image}/*.jpg")
+            + glob.glob(f"{input_image}/*.jpeg")
+        )
+    return [input_image]
+
+
+def load_adapter_dir(path: str):
+    """Accept either this framework's adapter layout or a torch-PEFT dir."""
+    cfg = os.path.join(path, "adapter_config.json")
+    if os.path.exists(cfg):
+        import json
+
+        with open(cfg) as f:
+            fmt = json.load(f).get("format")
+        if fmt == "omgsr-tpu":
+            return load_adapter(path)[0]
+    return import_peft_adapter(path)[0]
+
+
+def build_pipeline(args, dtype):
+    from omgsr_tpu.convert.hf_config import unet_config_from_json, vae_config_from_json
+
+    vae_dir = os.path.join(args.sd_path, "vae")
+    unet_dir = os.path.join(args.sd_path, "unet")
+    vae_cfg = vae_config_from_json(vae_dir)
+    unet_cfg = unet_config_from_json(unet_dir)
+    vae_params = port_diffusers_vae(vae_dir, cfg=vae_cfg, dtype=dtype)
+    unet_params = port_diffusers_unet(unet_dir, cfg=unet_cfg, dtype=dtype)
+    if args.lora_path:
+        # reference adapter names: infer/omgsr_s_infer_model.py:16-21
+        vae_ad = os.path.join(args.lora_path, "vae_encoder_lora_adapter")
+        unet_ad = os.path.join(args.lora_path, "unet_lora_adapter")
+        if os.path.isdir(vae_ad):
+            vae_params["encoder"] = merge_lora(vae_params["encoder"], load_adapter_dir(vae_ad))
+        if os.path.isdir(unet_ad):
+            unet_params = merge_lora(unet_params, load_adapter_dir(unet_ad))
+    return OMGSRSPipeline(
+        vae_params, unet_params, vae_cfg, unet_cfg, mid_timestep=args.mid_timestep
+    )
+
+
+def main(args):
+    dtype = resolve_dtype(args.weight_dtype)
+    if args.prompt_npz:
+        prompt_embeds = load_prompt_npz(args.prompt_npz)["prompt_embeds"].astype(dtype)
+    else:
+        prompt_embeds = encode_prompt_sd(args.sd_path, args.prompt, dtype)
+
+    pipe = build_pipeline(args, dtype)
+    image_names = collect_images(args.input_image)
+    os.makedirs(args.output_dir, exist_ok=True)
+    print(f"There are {len(image_names)} images.")
+
+    tile_size = args.process_size // 8
+    tile_overlap = tile_size // 2
+    total_time = 0.0
+    for i, name in enumerate(image_names):
+        img = load_image_rgb(name)
+        inp, resize_flag, orig = prepare_input(img, args.process_size, args.upscale)
+        lq = jnp.asarray(pil_to_array_pm1(inp), dtype)
+        t0 = time.time()
+        out = pipe(lq, prompt_embeds, tile_size, tile_overlap, rng=jax.random.key(i))
+        out = jax.block_until_ready(out)
+        dt = time.time() - t0
+        total_time += dt
+        print(f"Inference time per image: {dt}s")
+
+        out01 = np.asarray(out, np.float32) * 0.5 + 0.5
+        if args.align_method in ("adain", "wavelet"):
+            src01 = jnp.asarray(pil_to_array_01(inp))
+            fix = adain_color_fix if args.align_method == "adain" else wavelet_color_fix
+            out01 = np.asarray(fix(jnp.asarray(out01), src01))
+        out_pil = array01_to_pil(out01)
+        out_pil = finalize_output(out_pil, resize_flag, orig, args.upscale)
+        bname = os.path.basename(name).split(".")[0] + ".png"
+        out_pil.save(os.path.join(args.output_dir, bname))
+
+    print(f"Average inference time: {total_time / max(len(image_names), 1)}s")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="OMGSR-S Inference Script (TPU)")
+    parser.add_argument("--input_image", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--sd_path", type=str, required=True)
+    parser.add_argument("--lora_path", type=str, default=None)
+    parser.add_argument("--device", type=str, default="tpu", help="accepted for parity; jax picks the backend")
+    parser.add_argument("--process_size", type=int, default=512)
+    parser.add_argument("--upscale", type=int, default=4)
+    parser.add_argument("--align_method", type=str, default="adain", choices=["wavelet", "adain", "nofix"])
+    parser.add_argument("--weight_dtype", type=str, default="bf16", choices=["fp32", "fp16", "bf16"])
+    parser.add_argument("--prompt", type=str, default="")
+    parser.add_argument("--prompt_npz", type=str, default=None, help="precomputed prompt embeddings (.npz)")
+    parser.add_argument("--mid_timestep", type=int, default=273)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,116 @@
+"""OMGSR-F one-step inference pipeline (FLUX DiT @ mid-timestep 244).
+
+TPU-native equivalent of infer/omgsr_f_infer_model.py: FLUX-VAE encode,
+per-tile 2x2 pack -> DiT velocity prediction at sigma_244 (guidance 1.0) ->
+unpack, gaussian stitching, one Euler step z + (0 - sigma)*v (:316), decode.
+RoPE ids are computed once for the tile size and shared by all tiles —
+valid because every tile is exactly tile_size latents (the reference relies
+on the same invariant, infer/infer_omgsr_f.py:50-55).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from omgsr_tpu.diffusion.packing import latent_image_ids, pack_latents, unpack_latents
+from omgsr_tpu.diffusion.schedules import flux_sigma_at_mid_timestep
+from omgsr_tpu.inference.tiled import tiled_denoise
+from omgsr_tpu.models import flux, vae
+from omgsr_tpu.models.configs import FLUX_DEV, FLUX_VAE, FluxConfig, VAEConfig
+
+
+class OMGSRFPipeline:
+    def __init__(
+        self,
+        vae_params,
+        flux_params,
+        vae_cfg: VAEConfig = FLUX_VAE,
+        flux_cfg: FluxConfig = FLUX_DEV,
+        mid_timestep: int = 244,
+        guidance_scale: float = 1.0,
+        tile_batch: int = 1,
+    ):
+        self.vae_params = vae_params
+        self.flux_params = flux_params
+        self.vae_cfg = vae_cfg
+        self.flux_cfg = flux_cfg
+        self.mid_timestep = mid_timestep
+        self.sigma_t = flux_sigma_at_mid_timestep(mid_timestep)
+        self.guidance_scale = guidance_scale
+        self.tile_batch = tile_batch
+        self._jitted = functools.partial(
+            jax.jit, static_argnames=("tile_size", "tile_overlap", "sample_latent")
+        )(self._forward)
+
+    def _forward(
+        self,
+        vae_params,
+        flux_params,
+        lq_img,
+        prompt_embeds,
+        pooled_prompt_embeds,
+        rng,
+        *,
+        tile_size: int,
+        tile_overlap: int,
+        sample_latent: bool,
+    ):
+        z = vae.vae_encode(
+            vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
+        )
+        txt_ids = jnp.zeros((prompt_embeds.shape[-2], 3), jnp.float32)
+
+        def denoise(tiles):
+            n, th, tw, c = tiles.shape
+            img_ids = latent_image_ids(th // 2, tw // 2)
+            packed = pack_latents(tiles)
+            ctx = jnp.broadcast_to(prompt_embeds, (n,) + prompt_embeds.shape[-2:]).astype(tiles.dtype)
+            pooled = jnp.broadcast_to(
+                pooled_prompt_embeds, (n,) + pooled_prompt_embeds.shape[-1:]
+            ).astype(tiles.dtype)
+            v = flux.flux_apply(
+                flux_params,
+                self.flux_cfg,
+                packed,
+                self.sigma_t,
+                self.guidance_scale,
+                pooled,
+                ctx,
+                txt_ids,
+                img_ids,
+            )
+            return unpack_latents(v, th, tw)
+
+        v = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
+        # Euler step to t=0: z + (0 - sigma_t) * v
+        z0 = z - self.sigma_t * v
+        img = vae.vae_decode(vae_params, self.vae_cfg, z0)
+        return jnp.clip(img, -1.0, 1.0)
+
+    def __call__(
+        self,
+        lq_img,
+        prompt_embeds,
+        pooled_prompt_embeds,
+        tile_size: int = 128,
+        tile_overlap: int = 64,
+        rng=None,
+        sample_latent: bool = True,
+    ):
+        if rng is None:
+            rng = jax.random.key(0)
+            sample_latent = False
+        return self._jitted(
+            self.vae_params,
+            self.flux_params,
+            lq_img,
+            prompt_embeds,
+            pooled_prompt_embeds,
+            rng,
+            tile_size=tile_size,
+            tile_overlap=tile_overlap,
+            sample_latent=sample_latent,
+        )

@@ -1,0 +1,102 @@
+"""OMGSR-S one-step inference pipeline (SD2.1 UNet @ mid-timestep 273).
+
+TPU-native equivalent of infer/omgsr_s_infer_model.py: VAE-encode the
+upscaled LQ image, one UNet epsilon prediction at the calibrated
+mid-timestep (tiled with gaussian stitching when the latent exceeds the tile
+size), recover x0, VAE-decode, clamp. The whole step — encode, tiled UNet,
+decode — compiles into ONE XLA graph per input shape (the reference
+dispatches hundreds of separate kernels and round-trips tiles through
+python, :108-134).
+
+LoRA handling mirrors merge_and_unload (:16-23): adapters are folded into
+the base weights at load time, so inference runs the plain architecture.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from omgsr_tpu.diffusion.schedules import ddpm_alphas_cumprod
+from omgsr_tpu.inference.tiled import tiled_denoise
+from omgsr_tpu.models import unet_sd, vae
+from omgsr_tpu.models.configs import SD21_UNET, SD21_VAE, UNetConfig, VAEConfig
+
+
+class OMGSRSPipeline:
+    def __init__(
+        self,
+        vae_params,
+        unet_params,
+        vae_cfg: VAEConfig = SD21_VAE,
+        unet_cfg: UNetConfig = SD21_UNET,
+        mid_timestep: int = 273,
+        tile_batch: int = 4,
+    ):
+        self.vae_params = vae_params
+        self.unet_params = unet_params
+        self.vae_cfg = vae_cfg
+        self.unet_cfg = unet_cfg
+        self.mid_timestep = mid_timestep
+        self.tile_batch = tile_batch
+        alpha_t = float(ddpm_alphas_cumprod()[mid_timestep])
+        self.sqrt_alpha = math.sqrt(alpha_t)
+        self.sqrt_one_minus_alpha = math.sqrt(1.0 - alpha_t)
+        self._jitted = functools.partial(
+            jax.jit, static_argnames=("tile_size", "tile_overlap", "sample_latent")
+        )(self._forward)
+
+    def _forward(
+        self,
+        vae_params,
+        unet_params,
+        lq_img,
+        prompt_embeds,
+        rng,
+        *,
+        tile_size: int,
+        tile_overlap: int,
+        sample_latent: bool,
+    ):
+        z = vae.vae_encode(
+            vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
+        )
+
+        def denoise(tiles):
+            n = tiles.shape[0]
+            ctx = jnp.broadcast_to(
+                prompt_embeds, (n,) + prompt_embeds.shape[-2:]
+            ).astype(tiles.dtype)
+            return unet_sd.unet_apply(unet_params, self.unet_cfg, tiles, self.mid_timestep, ctx)
+
+        eps = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
+        z0 = (z - self.sqrt_one_minus_alpha * eps) / self.sqrt_alpha
+        img = vae.vae_decode(vae_params, self.vae_cfg, z0)
+        return jnp.clip(img, -1.0, 1.0)
+
+    def __call__(
+        self,
+        lq_img,
+        prompt_embeds,
+        tile_size: int = 64,
+        tile_overlap: int = 32,
+        rng=None,
+        sample_latent: bool = True,
+    ):
+        """lq_img (1,H,W,3) in [-1,1]; returns SR image (1,H,W,3) in [-1,1]."""
+        if rng is None:
+            rng = jax.random.key(0)
+            sample_latent = False
+        return self._jitted(
+            self.vae_params,
+            self.unet_params,
+            lq_img,
+            prompt_embeds,
+            rng,
+            tile_size=tile_size,
+            tile_overlap=tile_overlap,
+            sample_latent=sample_latent,
+        )

@@ -66,9 +66,24 @@ def init_rms_norm(dim: int, dtype=jnp.float32):
 
 def dense(p, x):
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    if "lora_A" in p:
+        # low-rank path: x @ A @ B (scaling 1.0, alpha==rank; see lora/lora.py)
+        y = y + jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, p["lora_A"].astype(x.dtype)), p["lora_B"].astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def _conv(kernel, x, stride, padding, dilation, groups):
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
 
 
 def conv2d(p, x, stride: int | tuple = 1, padding="SAME", dilation: int = 1, groups: int = 1):
@@ -78,15 +93,11 @@ def conv2d(p, x, stride: int | tuple = 1, padding="SAME", dilation: int = 1, gro
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     kernel = p["kernel"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=stride,
-        padding=padding,
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    y = _conv(kernel, x, stride, padding, dilation, groups)
+    if "lora_A" in p:
+        # peft Conv2d LoRA: conv with A (base geometry) then 1x1 conv with B
+        h = _conv(p["lora_A"].astype(x.dtype), x, stride, padding, dilation, groups)
+        y = y + _conv(p["lora_B"].astype(x.dtype), h, (1, 1), "VALID", 1, 1)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -1,0 +1,150 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
+from omgsr_tpu.inference.tiled import tiled_denoise
+from omgsr_tpu.models import flux as F
+from omgsr_tpu.models import unet_sd as U
+from omgsr_tpu.models import vae as V
+from omgsr_tpu.ops.color import adain_color_fix, wavelet_color_fix, wavelet_decomposition
+from tests.test_models import TINY_FLUX, TINY_FLUX_VAE, TINY_UNET, TINY_VAE
+
+
+class TestTiledDenoise:
+    def test_identity_denoiser_reconstructs_input(self):
+        """With denoise=identity, stitching must reproduce the latent exactly
+        (weights cancel through the contributor normalization)."""
+        x = jax.random.normal(jax.random.key(0), (1, 24, 40, 4))
+        out = jax.jit(lambda x: tiled_denoise(x, lambda t: t, 16, 8, tile_batch=3))(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+    def test_no_tile_path(self):
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+        out = tiled_denoise(x, lambda t: t * 2.0, 16, 8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2, rtol=1e-6)
+
+    def test_linear_denoiser_matches_untiled(self):
+        """A pointwise denoiser must commute with tiling+stitching."""
+        x = jax.random.normal(jax.random.key(1), (1, 32, 48, 4))
+        f = lambda t: jnp.tanh(t) * 0.5 + t
+        tiled = tiled_denoise(x, f, 16, 8, tile_batch=2)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(f(x)), rtol=1e-4, atol=1e-5)
+
+    def test_matches_reference_stitch_algorithm(self):
+        """Compare against a direct numpy transcription of the reference's
+        gather/stitch loop (infer/omgsr_s_infer_model.py:88-161) with a
+        non-trivial (but tile-local) denoiser."""
+        from omgsr_tpu.diffusion.tiling import gaussian_tile_weights, tile_grid_2d
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 24, 40, 4)).astype(np.float32)
+        t, ov = 16, 8
+
+        def denoise_np(tile):  # tile (1,t,t,C)
+            return np.tanh(tile) + 0.25 * tile
+
+        grid = tile_grid_2d(24, 40, t, ov)
+        w = gaussian_tile_weights(t, t)[None, :, :, None]
+        acc = np.zeros_like(x)
+        con = np.zeros_like(x)
+        for y, xx in grid:
+            tile = x[:, y : y + t, xx : xx + t, :]
+            acc[:, y : y + t, xx : xx + t, :] += denoise_np(tile) * w
+            con[:, y : y + t, xx : xx + t, :] += w
+        expected = acc / con
+
+        ours = tiled_denoise(
+            jnp.asarray(x), lambda tt: jnp.tanh(tt) + 0.25 * tt, t, ov, tile_batch=4
+        )
+        np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-4, atol=1e-5)
+
+
+class TestPipelines:
+    def test_omgsr_s_pipeline(self):
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        pipe = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, mid_timestep=273, tile_batch=2)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 96, 64, 3)))
+        ctx = jax.random.normal(jax.random.key(3), (1, 7, 16))
+        out = pipe(lq, ctx, tile_size=16, tile_overlap=8)
+        assert out.shape == lq.shape
+        o = np.asarray(out)
+        assert np.isfinite(o).all() and o.min() >= -1 and o.max() <= 1
+
+    def test_omgsr_s_no_tile_equals_tile_when_small(self):
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        pipe = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+        ctx = jax.random.normal(jax.random.key(3), (1, 7, 16))
+        a = pipe(lq, ctx, tile_size=16, tile_overlap=8)  # latent is 16x16 -> no tile
+        b = pipe(lq, ctx, tile_size=64, tile_overlap=32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_omgsr_f_pipeline(self):
+        vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+        fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+        pipe = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX, mid_timestep=244)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 64, 32, 3)))
+        ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+        pooled = jax.random.normal(jax.random.key(4), (1, 8))
+        out = pipe(lq, ctx, pooled, tile_size=8, tile_overlap=4)
+        assert out.shape == lq.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestColorFix:
+    def test_adain_moves_stats(self):
+        rng = np.random.default_rng(0)
+        target = jnp.asarray(rng.uniform(0.2, 0.4, (1, 32, 32, 3)).astype(np.float32))
+        source = jnp.asarray(rng.uniform(0.5, 0.9, (1, 32, 32, 3)).astype(np.float32))
+        fixed = np.asarray(jax.jit(adain_color_fix)(target, source))
+        np.testing.assert_allclose(
+            fixed.mean(axis=(1, 2)), np.asarray(source).mean(axis=(1, 2)), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            fixed.std(axis=(1, 2)), np.asarray(source).std(axis=(1, 2)), atol=1e-3
+        )
+
+    def test_adain_identity(self):
+        x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(adain_color_fix(x, x)), np.asarray(x), atol=1e-4)
+
+    def test_wavelet_decomposition_sums(self):
+        x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        high, low = wavelet_decomposition(x)
+        np.testing.assert_allclose(np.asarray(high + low), np.asarray(x), atol=1e-5)
+
+    def test_wavelet_fix_takes_source_low_freq(self):
+        rng = np.random.default_rng(3)
+        t = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        s = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        fixed = wavelet_color_fix(t, s)
+        t_high, _ = wavelet_decomposition(t)
+        _, s_low = wavelet_decomposition(s)
+        np.testing.assert_allclose(np.asarray(fixed), np.asarray(t_high + s_low), atol=1e-5)
+
+    def test_wavelet_matches_reference_torch_semantics(self):
+        """Replicate wavelet_blur (infer/wavelet_color_fix.py:77-96) in numpy
+        with replicate pad + dilated conv and compare one level."""
+        from omgsr_tpu.ops.color import wavelet_blur
+
+        rng = np.random.default_rng(4)
+        x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        radius = 2
+        kern = np.asarray(
+            [[0.0625, 0.125, 0.0625], [0.125, 0.25, 0.125], [0.0625, 0.125, 0.0625]],
+            np.float32,
+        )
+        xp = np.pad(x, ((0, 0), (radius, radius), (radius, radius), (0, 0)), mode="edge")
+        expected = np.zeros_like(x)
+        for dy in range(3):
+            for dx in range(3):
+                expected += (
+                    kern[dy, dx]
+                    * xp[:, dy * radius : dy * radius + 8, dx * radius : dx * radius + 8, :]
+                )
+        ours = np.asarray(wavelet_blur(jnp.asarray(x), radius))
+        np.testing.assert_allclose(ours, expected, atol=1e-5)
