@@ -1,0 +1,51 @@
+"""Benchmark: OMGSR-S-512 one-step SR latency on the current backend.
+
+Prints ONE JSON line:
+  {"metric": "omgsr_s_512_one_step_s_per_image", "value": <p50 seconds>,
+   "unit": "s/image", "vs_baseline": <value / 1.0s north-star>}
+
+The measured graph is the full production inference step at 512 px — VAE
+encode, SD2.1 UNet (865M, bf16) at mid-timestep 273, x0 recovery, VAE decode,
+clamp — compiled as ONE XLA program (random weights; latency is weight-
+independent). The north-star reference point is the driver's <1 s/image
+target (BASELINE.md); lower is better, vs_baseline < 1 beats it.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    fn_args = None
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    jfn = jax.jit(fn)
+
+    # compile + warmup
+    out = jfn(*args)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = jfn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.median(times))
+    result = {
+        "metric": "omgsr_s_512_one_step_s_per_image",
+        "value": round(p50, 5),
+        "unit": "s/image",
+        "vs_baseline": round(p50 / 1.0, 5),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,21 @@ from omgsr_tpu.ops.attention import dot_product_attention
 
 _EPS = 1e-6
 
+# Trace-time GroupNorm interception hook for the tiled/streaming VAE
+# (inference/tiled_vae.py): when set, every GroupNorm in the VAE calls
+# _GN_HOOK(params, x, groups) instead of computing local statistics. The
+# hook either records full-image statistics (collect pass) or applies
+# externally supplied global statistics (per-tile apply pass) — the same
+# split vaehook.py achieves with its task-queue pauses
+# (infer/vaehook.py:459-534).
+_GN_HOOK = None
+
+
+def _vae_group_norm(p, x, groups):
+    if _GN_HOOK is not None:
+        return _GN_HOOK(p, x, groups)
+    return group_norm(p, x, groups, _EPS)
+
 
 # ----------------------------------------------------------------------------
 # init
@@ -129,9 +144,9 @@ def init_vae(key, cfg: VAEConfig, dtype=jnp.float32):
 
 
 def _resnet(p, x, groups):
-    h = group_norm(p["norm1"], x, groups, _EPS)
+    h = _vae_group_norm(p["norm1"], x, groups)
     h = conv2d(p["conv1"], silu(h), padding=1)
-    h = group_norm(p["norm2"], h, groups, _EPS)
+    h = _vae_group_norm(p["norm2"], h, groups)
     h = conv2d(p["conv2"], silu(h), padding=1)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
@@ -140,7 +155,7 @@ def _resnet(p, x, groups):
 
 def _mid_attention(p, x, groups):
     b, hh, ww, c = x.shape
-    h = group_norm(p["group_norm"], x, groups, _EPS)
+    h = _vae_group_norm(p["group_norm"], x, groups)
     h = h.reshape(b, hh * ww, c)
     # single-head attention over spatial tokens (diffusers VAE mid block)
     q = dense(p["to_q"], h)[:, :, None, :]
@@ -174,7 +189,7 @@ def vae_encode_features(params, cfg: VAEConfig, x):
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
             h = conv2d(blk["downsamplers"]["0"]["conv"], h, stride=2, padding="VALID")
     h = _mid_block(p["mid_block"], h, g)
-    h = group_norm(p["conv_norm_out"], h, g, _EPS)
+    h = _vae_group_norm(p["conv_norm_out"], h, g)
     h = conv2d(p["conv_out"], silu(h), padding=1)
     if "quant_conv" in params:
         h = conv2d(params["quant_conv"], h, padding=0)
@@ -229,6 +244,6 @@ def vae_decode(params, cfg: VAEConfig, z, unscale: bool = True):
         if "upsamplers" in blk:
             h = nearest_upsample_2x(h)
             h = conv2d(blk["upsamplers"]["0"]["conv"], h, padding=1)
-    h = group_norm(p["conv_norm_out"], h, g, _EPS)
+    h = _vae_group_norm(p["conv_norm_out"], h, g)
     h = conv2d(p["conv_out"], silu(h), padding=1)
     return h

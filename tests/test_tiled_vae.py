@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omgsr_tpu.inference.tiled_vae import (
+    sharded_vae_decode,
+    sharded_vae_encode,
+    streaming_vae_decode,
+    streaming_vae_encode,
+)
+from omgsr_tpu.models import vae as V
+from tests.test_models import TINY_VAE
+
+
+@pytest.fixture(scope="module")
+def vae_params():
+    return V.init_vae(jax.random.key(0), TINY_VAE)
+
+
+class TestShardedVAE:
+    def test_decode_exact_vs_unsharded(self, vae_params):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from omgsr_tpu.parallel import create_mesh
+
+        mesh = create_mesh({"data": 8})
+        z = jax.random.normal(jax.random.key(1), (1, 16, 24, 4)) * 0.2
+        ref = V.vae_decode(vae_params, TINY_VAE, z)
+        out = sharded_vae_decode(vae_params, TINY_VAE, z, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def test_encode_exact_vs_unsharded(self, vae_params):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from omgsr_tpu.parallel import create_mesh
+
+        mesh = create_mesh({"data": 8})
+        x = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 64, 32, 3)))
+        ref = V.vae_encode(vae_params, TINY_VAE, x, rng=None)
+        out = sharded_vae_encode(vae_params, TINY_VAE, x, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+class TestStreamingVAE:
+    def test_decode_exact_with_exact_stats_no_attention(self):
+        """With full-size stat collection and no mid-block attention (the
+        only global op besides GroupNorm), tiled streaming must reproduce
+        the untiled decode exactly — validates window/crop/halo logic."""
+        from omgsr_tpu.models.configs import VAEConfig
+
+        cfg = VAEConfig(
+            block_out_channels=(8, 16), norm_num_groups=4, latent_channels=4,
+            mid_block_attention=False,
+        )
+        p = V.init_vae(jax.random.key(0), cfg)
+        z = jax.random.normal(jax.random.key(3), (1, 40, 48, 4)) * 0.2
+        ref = np.asarray(V.vae_decode(p, cfg, z))
+        out = np.asarray(
+            streaming_vae_decode(p, cfg, z, tile=16, pad=11, est_size=48)
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_encode_exact_with_exact_stats_no_attention(self):
+        from omgsr_tpu.models.configs import VAEConfig
+
+        cfg = VAEConfig(
+            block_out_channels=(8, 16), norm_num_groups=4, latent_channels=4,
+            mid_block_attention=False,
+        )
+        p = V.init_vae(jax.random.key(0), cfg)
+        x = jnp.tanh(jax.random.normal(jax.random.key(4), (1, 160, 128, 3)))
+        ref = np.asarray(V.vae_encode(p, cfg, x, rng=None))
+        out = np.asarray(
+            streaming_vae_encode(p, cfg, x, tile=64, pad=32, est_size=160)
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_decode_fast_mode_bounded(self, vae_params):
+        """Downsampled-stat fast mode (vaehook :714-735 analogue): result
+        stays in the right ballpark; per-tile mid attention is local, as in
+        the reference."""
+        z = jax.random.normal(jax.random.key(3), (1, 40, 48, 4)) * 0.2
+        ref = np.asarray(V.vae_decode(vae_params, TINY_VAE, z))
+        out = np.asarray(
+            streaming_vae_decode(vae_params, TINY_VAE, z, tile=16, pad=8, est_size=24)
+        )
+        assert out.shape == ref.shape
+        assert np.isfinite(out).all()
+        # no numeric bound: downsampled-stat estimation is only meaningful
+        # for pretrained nets on natural images (random weights amplify the
+        # distribution shift arbitrarily); exactness is covered by the
+        # exact-stats tests above
+
+    def test_decode_nondivisible_size(self, vae_params):
+        z = jax.random.normal(jax.random.key(5), (1, 21, 13, 4)) * 0.2
+        out = streaming_vae_decode(vae_params, TINY_VAE, z, tile=8, pad=4, est_size=16)
+        assert out.shape == (1, 42, 26, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_hook_restored_after_use(self, vae_params):
+        from omgsr_tpu.models import vae as vm
+
+        z = jax.random.normal(jax.random.key(6), (1, 16, 16, 4)) * 0.2
+        streaming_vae_decode(vae_params, TINY_VAE, z, tile=8, pad=4, est_size=16)
+        assert vm._GN_HOOK is None
