@@ -90,6 +90,18 @@ class OMGSRFPipeline:
         img = vae.vae_decode(vae_params, self.vae_cfg, z0)
         return jnp.clip(img, -1.0, 1.0)
 
+    def shard_for_mesh(self, mesh, min_size: int = 2**18):
+        """Shard the 12B DiT parameters over the mesh's "fsdp" axis (ZeRO-3
+        style) so -F inference fits small slices; XLA inserts the gathers.
+        The VAE (84M) stays replicated."""
+        from omgsr_tpu.parallel import device_put_params, replicated, shard_params_fsdp
+
+        shardings = shard_params_fsdp(self.flux_params, mesh, min_size)
+        self.flux_params = device_put_params(self.flux_params, shardings)
+        rep = replicated(mesh)
+        self.vae_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.vae_params)
+        return self
+
     def __call__(
         self,
         lq_img,

@@ -22,7 +22,9 @@ _FLASH_MIN_SEQ = 1024  # below this, XLA's fused softmax path is already fine
 def _use_pallas(q_seq: int, head_dim: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    if head_dim % 128 != 0 and head_dim not in (64,):
+    # measured on v5e: wins for 64/128 head dims at long seq (UNet stage-1,
+    # FLUX joint attention); the 512-dim VAE mid-block is better on XLA
+    if head_dim not in (64, 128, 256):
         return False
     return q_seq >= _FLASH_MIN_SEQ
 

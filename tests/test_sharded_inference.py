@@ -1,0 +1,39 @@
+"""FSDP-sharded FLUX inference == replicated inference (8-dev CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+from omgsr_tpu.models import flux as F
+from omgsr_tpu.models import vae as V
+from tests.test_models import TINY_FLUX, TINY_FLUX_VAE
+
+
+def test_fsdp_sharded_pipeline_matches_replicated():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe_ref = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe_ref(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    mesh = create_mesh({"data": 2, "fsdp": 4})
+    pipe_sh = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    pipe_sh.shard_for_mesh(mesh, min_size=64)  # tiny threshold: force sharding
+    out = np.asarray(pipe_sh(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+    # sanity: at least one param actually got sharded over fsdp
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda x: x.sharding.spec if hasattr(x.sharding, "spec") else None,
+                     pipe_sh.flux_params)
+    )
+    assert any(s is not None and "fsdp" in str(s) for s in shardings)
