@@ -141,6 +141,27 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+# opt-in: the Pallas fused GN+SiLU kernel wins in isolation (2.22 vs 2.60 ms
+# on a 512x512x128 v5e tensor) but LOSES in the composed one-step graph
+# (176 vs 91 ms end-to-end): pallas_call is an XLA fusion barrier at ~60 GN
+# sites, costing more than the saved reduction pass. Measured 2026-08-16.
+USE_FUSED_GROUP_NORM = False
+
+
+def group_norm_silu(p, x, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm followed by SiLU; optionally dispatches to the fused Pallas
+    kernel (see USE_FUSED_GROUP_NORM note — XLA's fusion wins end-to-end)."""
+    if (
+        USE_FUSED_GROUP_NORM
+        and jax.default_backend() == "tpu"
+        and x.shape[-1] % num_groups == 0
+    ):
+        from omgsr_tpu.ops.fused_groupnorm import fused_group_norm_silu
+
+        return fused_group_norm_silu(x, p["scale"], p["bias"], num_groups, eps)
+    return silu(group_norm(p, x, num_groups, eps))
+
+
 def gelu(x, approximate: bool = False):
     return jax.nn.gelu(x, approximate=approximate)
 

@@ -25,6 +25,7 @@ from omgsr_tpu.models.layers import (
     dense,
     gelu,
     group_norm,
+    group_norm_silu,
     init_conv,
     init_dense,
     init_norm,
@@ -177,12 +178,12 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
 
 
 def _resnet(p, x, temb, groups, eps):
-    h = group_norm(p["norm1"], x, groups, eps)
-    h = conv2d(p["conv1"], silu(h), padding=1)
+    h = group_norm_silu(p["norm1"], x, groups, eps)
+    h = conv2d(p["conv1"], h, padding=1)
     t = dense(p["time_emb_proj"], silu(temb))
     h = h + t[:, None, None, :]
-    h = group_norm(p["norm2"], h, groups, eps)
-    h = conv2d(p["conv2"], silu(h), padding=1)
+    h = group_norm_silu(p["norm2"], h, groups, eps)
+    h = conv2d(p["conv2"], h, padding=1)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
@@ -278,6 +279,6 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, encoder_hidden_states
             h = nearest_upsample_2x(h)
             h = conv2d(blk["upsamplers"]["0"]["conv"], h, padding=1)
 
-    h = group_norm(params["conv_norm_out"], h, g, eps)
-    h = conv2d(params["conv_out"], silu(h), padding=1)
+    h = group_norm_silu(params["conv_norm_out"], h, g, eps)
+    h = conv2d(params["conv_out"], h, padding=1)
     return h

@@ -21,6 +21,7 @@ from omgsr_tpu.models.layers import (
     conv2d,
     dense,
     group_norm,
+    group_norm_silu,
     init_conv,
     init_dense,
     init_norm,
@@ -45,6 +46,13 @@ def _vae_group_norm(p, x, groups):
     if _GN_HOOK is not None:
         return _GN_HOOK(p, x, groups)
     return group_norm(p, x, groups, _EPS)
+
+
+def _vae_group_norm_silu(p, x, groups):
+    """Fused GroupNorm+SiLU when no stat hook is installed."""
+    if _GN_HOOK is not None:
+        return silu(_GN_HOOK(p, x, groups))
+    return group_norm_silu(p, x, groups, _EPS)
 
 
 # ----------------------------------------------------------------------------
@@ -144,10 +152,10 @@ def init_vae(key, cfg: VAEConfig, dtype=jnp.float32):
 
 
 def _resnet(p, x, groups):
-    h = _vae_group_norm(p["norm1"], x, groups)
-    h = conv2d(p["conv1"], silu(h), padding=1)
-    h = _vae_group_norm(p["norm2"], h, groups)
-    h = conv2d(p["conv2"], silu(h), padding=1)
+    h = _vae_group_norm_silu(p["norm1"], x, groups)
+    h = conv2d(p["conv1"], h, padding=1)
+    h = _vae_group_norm_silu(p["norm2"], h, groups)
+    h = conv2d(p["conv2"], h, padding=1)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
@@ -189,8 +197,8 @@ def vae_encode_features(params, cfg: VAEConfig, x):
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
             h = conv2d(blk["downsamplers"]["0"]["conv"], h, stride=2, padding="VALID")
     h = _mid_block(p["mid_block"], h, g)
-    h = _vae_group_norm(p["conv_norm_out"], h, g)
-    h = conv2d(p["conv_out"], silu(h), padding=1)
+    h = _vae_group_norm_silu(p["conv_norm_out"], h, g)
+    h = conv2d(p["conv_out"], h, padding=1)
     if "quant_conv" in params:
         h = conv2d(params["quant_conv"], h, padding=0)
     return h
@@ -244,6 +252,6 @@ def vae_decode(params, cfg: VAEConfig, z, unscale: bool = True):
         if "upsamplers" in blk:
             h = nearest_upsample_2x(h)
             h = conv2d(blk["upsamplers"]["0"]["conv"], h, padding=1)
-    h = _vae_group_norm(p["conv_norm_out"], h, g)
-    h = conv2d(p["conv_out"], silu(h), padding=1)
+    h = _vae_group_norm_silu(p["conv_norm_out"], h, g)
+    h = conv2d(p["conv_out"], h, padding=1)
     return h
