@@ -193,7 +193,12 @@ class TrainerS(BaseTrainer):
     def encode_lora(self, lora_enc, img, rng):
         params = dict(self.frozen["vae"])
         params["encoder"] = attach_lora(self.frozen["vae"]["encoder"], lora_enc)
-        return vae.vae_encode(params, self.frozen["vae_cfg"], img, rng)
+        encode = vae.vae_encode
+        if self.cfg.gradient_checkpointing:
+            # lora_vae.enable_gradient_checkpointing parity
+            # (train/train_omgsr_s.py:256-258)
+            encode = jax.checkpoint(encode, static_argnums=(1,))
+        return encode(params, self.frozen["vae_cfg"], img, rng)
 
     def noisy_latent(self, hq_latent, noise):
         return self.sqrt_a * hq_latent + self.sqrt_1ma * noise
@@ -226,7 +231,10 @@ class TrainerF(BaseTrainer):
     def encode_lora(self, lora_enc, img, rng):
         params = dict(self.frozen["vae"])
         params["encoder"] = attach_lora(self.frozen["vae"]["encoder"], lora_enc)
-        return vae.vae_encode(params, self.frozen["vae_cfg"], img, rng)
+        encode = vae.vae_encode
+        if self.cfg.gradient_checkpointing:
+            encode = jax.checkpoint(encode, static_argnums=(1,))
+        return encode(params, self.frozen["vae_cfg"], img, rng)
 
     def noisy_latent(self, hq_latent, noise):
         return (1.0 - self.sigma_t) * hq_latent + self.sigma_t * noise

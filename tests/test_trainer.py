@@ -181,3 +181,32 @@ class TestDataParallel:
             np.testing.assert_allclose(
                 float(m1[k]), float(m2[k]), rtol=2e-4, atol=1e-5, err_msg=k
             )
+
+
+class TestGradientCheckpointing:
+    def test_step_runs_with_remat(self):
+        cfg = TrainConfig(
+            mid_timestep=273, gradient_accumulation_steps=1, lr_warmup_steps=0,
+            learning_rate=1e-3, gradient_checkpointing=True,
+        )
+        tr = _build_trainer_s(cfg)
+        metrics, _ = tr.train_step(_batch(b=1), jax.random.key(0))
+        assert np.isfinite(float(metrics["loss_total_G"]))
+
+    def test_remat_same_losses_as_plain(self):
+        cfg_a = TrainConfig(
+            mid_timestep=273, gradient_accumulation_steps=1, lr_warmup_steps=0,
+            learning_rate=1e-3, gradient_checkpointing=False,
+        )
+        cfg_b = TrainConfig(
+            mid_timestep=273, gradient_accumulation_steps=1, lr_warmup_steps=0,
+            learning_rate=1e-3, gradient_checkpointing=True,
+        )
+        ta = _build_trainer_s(cfg_a)
+        tb = _build_trainer_s(cfg_b)
+        batch = _batch(b=1)
+        ma, _ = ta.train_step(batch, jax.random.key(5))
+        mb, _ = tb.train_step(batch, jax.random.key(5))
+        np.testing.assert_allclose(
+            float(ma["loss_total_G"]), float(mb["loss_total_G"]), rtol=1e-4
+        )
