@@ -72,34 +72,20 @@ def main(args):
 
     pipe = build_pipeline(args, dtype)
     image_names = collect_images(args.input_image)
-    os.makedirs(args.output_dir, exist_ok=True)
     print(f"There are {len(image_names)} images.")
 
     tile_size = args.process_size // 8
     tile_overlap = tile_size // 2
-    total_time = 0.0
-    for i, name in enumerate(image_names):
-        img = load_image_rgb(name)
-        inp, resize_flag, orig = prepare_input(img, args.process_size, args.upscale)
-        lq = jnp.asarray(pil_to_array_pm1(inp), dtype)
-        t0 = time.time()
-        out = pipe(lq, prompt_embeds, pooled, tile_size, tile_overlap, rng=jax.random.key(i))
-        out = jax.block_until_ready(out)
-        dt = time.time() - t0
-        total_time += dt
-        print(f"Inference time per image: {dt}s")
 
-        out01 = np.asarray(out, np.float32) * 0.5 + 0.5
-        if args.align_method in ("adain", "wavelet"):
-            src01 = jnp.asarray(pil_to_array_01(inp))
-            fix = adain_color_fix if args.align_method == "adain" else wavelet_color_fix
-            out01 = np.asarray(fix(jnp.asarray(out01), src01))
-        out_pil = array01_to_pil(out01)
-        out_pil = finalize_output(out_pil, resize_flag, orig, args.upscale)
-        bname = os.path.basename(name).split(".")[0] + ".png"
-        out_pil.save(os.path.join(args.output_dir, bname))
+    from omgsr_tpu.inference.batch_runner import run_batch
 
-    print(f"Average inference time: {total_time / max(len(image_names), 1)}s")
+    def infer_fn(lq, i):
+        return pipe(jnp.asarray(lq, dtype), prompt_embeds, pooled, tile_size, tile_overlap, rng=jax.random.key(i))
+
+    run_batch(
+        image_names, infer_fn, args.output_dir, args.process_size, args.upscale,
+        args.align_method, dtype,
+    )
 
 
 def parse_args(argv=None):

@@ -32,7 +32,12 @@ class OMGSRFPipeline:
         mid_timestep: int = 244,
         guidance_scale: float = 1.0,
         tile_batch: int = 1,
+        scan_blocks: bool = True,
     ):
+        if scan_blocks and "stacked" not in flux_params.get("transformer_blocks", {}):
+            # scan over stacked block params: one compiled block body instead
+            # of 57 unrolled copies (compile time for the 12B DiT)
+            flux_params = flux.stack_block_params(flux_params)
         self.vae_params = vae_params
         self.flux_params = flux_params
         self.vae_cfg = vae_cfg

@@ -263,6 +263,25 @@ def _single_block(p, cfg, x, temb, cos, sin):
     return x + gate[:, None, :] * out
 
 
+def stack_block_params(params):
+    """Stack the per-block param subtrees along a leading axis so the block
+    loops run as lax.scan (one compiled block body instead of 19+38 unrolled
+    copies — cuts 12B-model compile time dramatically). Returns a new params
+    dict with "transformer_blocks"/"single_transformer_blocks" replaced by
+    stacked trees; flux_apply detects the stacked form automatically.
+    """
+    import numpy as np
+
+    def stack(group):
+        keys = sorted(group, key=int)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[group[k] for k in keys])
+
+    out = dict(params)
+    out["transformer_blocks"] = {"stacked": stack(params["transformer_blocks"])}
+    out["single_transformer_blocks"] = {"stacked": stack(params["single_transformer_blocks"])}
+    return out
+
+
 def flux_apply(
     params,
     cfg: FluxConfig,
@@ -290,12 +309,29 @@ def flux_apply(
     ids = jnp.concatenate([txt_ids, img_ids], axis=0)
     cos, sin = rope_cos_sin(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
-    for i in sorted(params["transformer_blocks"], key=int):
-        img, txt = _dual_block(params["transformer_blocks"][i], cfg, img, txt, temb, cos, sin)
+    scanned = "stacked" in params["transformer_blocks"]
+    if scanned:
+        def dual_body(carry, bp):
+            i, t = carry
+            i, t = _dual_block(bp, cfg, i, t, temb, cos, sin)
+            return (i, t), None
+
+        (img, txt), _ = jax.lax.scan(
+            dual_body, (img, txt), params["transformer_blocks"]["stacked"]
+        )
+    else:
+        for i in sorted(params["transformer_blocks"], key=int):
+            img, txt = _dual_block(params["transformer_blocks"][i], cfg, img, txt, temb, cos, sin)
 
     x = jnp.concatenate([txt, img], axis=1)
-    for i in sorted(params["single_transformer_blocks"], key=int):
-        x = _single_block(params["single_transformer_blocks"][i], cfg, x, temb, cos, sin)
+    if scanned:
+        def single_body(carry, bp):
+            return _single_block(bp, cfg, carry, temb, cos, sin), None
+
+        x, _ = jax.lax.scan(single_body, x, params["single_transformer_blocks"]["stacked"])
+    else:
+        for i in sorted(params["single_transformer_blocks"], key=int):
+            x = _single_block(params["single_transformer_blocks"][i], cfg, x, temb, cos, sin)
     img = x[:, txt.shape[1] :]
 
     # AdaLayerNormContinuous: chunk order is (scale, shift)

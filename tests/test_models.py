@@ -247,3 +247,19 @@ class TestConvNeXt:
         n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes))
         # ConvNeXt-L backbone (no head/final norm): ~196M
         assert 190e6 < n < 200e6
+
+
+class TestFluxScanBlocks:
+    def test_stacked_scan_matches_unrolled(self):
+        from omgsr_tpu.models.flux import stack_block_params
+
+        p = F.init_flux(jax.random.key(0), TINY_FLUX)
+        img_ids = latent_image_ids(4, 4)
+        txt_ids = jnp.zeros((5, 3))
+        x = jax.random.normal(jax.random.key(1), (2, 16, 64))
+        ctx = jax.random.normal(jax.random.key(2), (2, 5, 16))
+        pooled = jax.random.normal(jax.random.key(3), (2, 8))
+        ref = F.flux_apply(p, TINY_FLUX, x, 0.5, 1.0, pooled, ctx, txt_ids, img_ids)
+        ps = stack_block_params(p)
+        out = F.flux_apply(ps, TINY_FLUX, x, 0.5, 1.0, pooled, ctx, txt_ids, img_ids)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
