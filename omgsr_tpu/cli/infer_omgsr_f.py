@@ -11,27 +11,16 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from omgsr_tpu.cli.infer_omgsr_s import collect_images, load_adapter_dir
 from omgsr_tpu.cli.prompts import encode_prompt_flux, load_prompt_npz
 from omgsr_tpu.convert import port_diffusers_vae, port_flux_transformer
 from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
 from omgsr_tpu.lora import merge_lora
-from omgsr_tpu.ops.color import adain_color_fix, wavelet_color_fix
 from omgsr_tpu.utils.dtypes import resolve_dtype
-from omgsr_tpu.utils.image_io import (
-    array01_to_pil,
-    finalize_output,
-    load_image_rgb,
-    pil_to_array_01,
-    pil_to_array_pm1,
-    prepare_input,
-)
 
 
 def build_pipeline(args, dtype):

@@ -12,26 +12,15 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from omgsr_tpu.cli.prompts import encode_prompt_sd, load_prompt_npz
 from omgsr_tpu.convert import port_diffusers_unet, port_diffusers_vae
 from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
 from omgsr_tpu.lora import import_peft_adapter, load_adapter, merge_lora
-from omgsr_tpu.ops.color import adain_color_fix, wavelet_color_fix
 from omgsr_tpu.utils.dtypes import resolve_dtype
-from omgsr_tpu.utils.image_io import (
-    array01_to_pil,
-    finalize_output,
-    load_image_rgb,
-    pil_to_array_01,
-    pil_to_array_pm1,
-    prepare_input,
-)
 
 
 def collect_images(input_image: str) -> list[str]:
