@@ -1,15 +1,19 @@
-"""Pallas TPU flash attention (forward), BSHD layout.
+"""Pallas TPU flash attention (forward + backward), BSHD layout.
 
 The hot attention sites in OMGSR are long-sequence self-attention: SD UNet
 first stage (4096 tokens at 512 px), VAE mid-block (4096+ tokens), FLUX
-joint attention (4608 tokens per 1024-px tile). This kernel computes
+joint attention (4608 tokens per 1024-px tile). The forward computes
 softmax(q k^T / sqrt(d)) v with the online-softmax recurrence, streaming KV
-in VMEM blocks so the (S_q x S_kv) score matrix never materializes in HBM —
-the standard flash schedule mapped onto MXU 128-lane tiles.
+in VMEM blocks so the (S_q x S_kv) score matrix never materializes in HBM.
 
-Forward-only Pallas; gradients fall back to XLA attention via custom_vjp
-recompute (OMGSR trains at 64x64 latents where XLA's fused attention is
-already fine; inference is where long sequences appear).
+The backward is the standard flash recurrence from saved log-sum-exp:
+  D = rowsum(dO * O)
+  P = exp(q k^T * scale - LSE)
+  dV = P^T dO;  dS = P * (dO V^T - D);  dQ = dS K * scale;  dK = dS^T Q * scale
+split into a dQ kernel (grid over q blocks, streaming KV) and a dK/dV kernel
+(grid over kv blocks, streaming Q) — neither materializes P in HBM either,
+which is what makes 512-px+ LoRA-GAN training fit without checkpointing the
+attention matrices.
 """
 
 from __future__ import annotations
@@ -28,8 +32,12 @@ BLOCK_K = 512
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int, block_k: int):
-    # q_ref: (BQ, D); k_ref/v_ref: (S_kv_pad, D); o_ref: (BQ, D)
+# ----------------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, block_k):
     bq, d = q_ref.shape
     skv = k_ref.shape[0]
     n_blocks = skv // block_k
@@ -42,8 +50,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int, bloc
         v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, block_k)
-        # mask padded kv positions
+        )
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
@@ -61,6 +68,87 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int, bloc
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc, m, l))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
+    lse_ref[:] = (m + jnp.log(l)).astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------------
+# backward
+# ----------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, kv_len, block_k):
+    bq, d = q_ref.shape
+    skv = k_ref.shape[0]
+    n_blocks = skv // block_k
+
+    q = q_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:]
+    delta = delta_ref[:]
+
+    def body(i, dq):
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + scale * jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, q_len, block_q):
+    bk, d = k_ref.shape
+    sq = q_ref.shape[0]
+    n_blocks = sq // block_q
+
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[pl.ds(i * block_q, block_q), :]
+        delta_blk = delta_ref[pl.ds(i * block_q, block_q), :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0) + i * block_q
+        s = scale * jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, bk)
+        s = jnp.where(row < q_len, s, _NEG_INF)
+        p = jnp.exp(s - lse_blk)
+        dv = dv + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_blk)
+        dk = dk + scale * jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_blocks, body, (dk, dv))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+# ----------------------------------------------------------------------------
+# host-side wrappers
+# ----------------------------------------------------------------------------
 
 
 def _pad_to(x, size, axis):
@@ -72,10 +160,20 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention_bshd(q, k, v, scale: float | None = None):
-    """q (B, Sq, H, D), k/v (B, Skv, H, D) -> (B, Sq, H, D)."""
-    return _forward(q, k, v, scale)
+def _to_heads(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from_heads(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _block_sizes(sq, skv):
+    bq = min(BLOCK_Q, max(128, 1 << (sq - 1).bit_length()))
+    bk = min(BLOCK_K, max(128, 1 << (skv - 1).bit_length()))
+    return min(bq, BLOCK_Q), min(bk, BLOCK_K)
 
 
 def _forward(q, k, v, scale):
@@ -83,49 +181,110 @@ def _forward(q, k, v, scale):
     skv = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    block_q, block_k = _block_sizes(sq, skv)
 
-    block_q = min(BLOCK_Q, max(128, 1 << (sq - 1).bit_length()))
-    block_q = min(block_q, BLOCK_Q)
-    block_k = min(BLOCK_K, max(128, 1 << (skv - 1).bit_length()))
-    block_k = min(block_k, BLOCK_K)
-
-    # (B, S, H, D) -> (B*H, S, D)
-    qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kh = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
-    vh = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
-
-    qh = _pad_to(qh, block_q, 1)
-    kh = _pad_to(kh, block_k, 1)
-    vh = _pad_to(vh, block_k, 1)
-    sq_p = qh.shape[1]
-    skv_p = kh.shape[1]
+    qh = _pad_to(_to_heads(q), block_q, 1)
+    kh = _pad_to(_to_heads(k), block_k, 1)
+    vh = _pad_to(_to_heads(v), block_k, 1)
+    sq_p, skv_p = qh.shape[1], kh.shape[1]
 
     grid = (b * h, sq_p // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=skv, block_k=block_k),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=skv, block_k=block_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_p, 1), jnp.float32),
+        ),
     )(qh, kh, vh)
+    return _from_heads(out[:, :sq], b, h), lse[:, :sq]
 
-    out = out[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+def _backward(q, k, v, o, lse, g, scale):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_q, block_k = _block_sizes(sq, skv)
+
+    qh = _pad_to(_to_heads(q), block_q, 1)
+    kh = _pad_to(_to_heads(k), block_k, 1)
+    vh = _pad_to(_to_heads(v), block_k, 1)
+    doh = _pad_to(_to_heads(g), block_q, 1)
+    oh = _pad_to(_to_heads(o), block_q, 1)
+    # delta = rowsum(dO * O); padded LSE rows get 0 (p=exp(-inf-0)=0 anyway)
+    delta = jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1, keepdims=True)
+    lse_p = _pad_to(lse, block_q, 1)
+    sq_p, skv_p = qh.shape[1], kh.shape[1]
+    bh = b * h
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=skv, block_k=block_k),
+        grid=(bh, sq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+    )(qh, kh, vh, doh, lse_p, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_len=sq, block_q=block_q),
+        grid=(bh, skv_p // block_k),
+        in_specs=[
+            pl.BlockSpec((None, sq_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, sq_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, sq_p, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, sq_p, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+        ),
+    )(qh, kh, vh, doh, lse_p, delta)
+
+    return (
+        _from_heads(dq[:, :sq], b, h),
+        _from_heads(dk[:, :skv], b, h),
+        _from_heads(dv[:, :skv], b, h),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_bshd(q, k, v, scale: float | None = None):
+    """q (B, Sq, H, D), k/v (B, Skv, H, D) -> (B, Sq, H, D)."""
+    out, _ = _forward(q, k, v, scale)
     return out
 
 
 def _fwd(q, k, v, scale):
-    return _forward(q, k, v, scale), (q, k, v)
+    out, lse = _forward(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(scale, residuals, g):
-    q, k, v = residuals
-    # recompute with XLA attention for the backward pass
-    _, vjp = jax.vjp(lambda q, k, v: jax.nn.dot_product_attention(q, k, v, scale=scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = residuals
+    return _backward(q, k, v, o, lse, g, scale)
 
 
 flash_attention_bshd.defvjp(_fwd, _bwd)
