@@ -5,13 +5,17 @@ Prints ONE JSON line:
    "unit": "s/image", "vs_baseline": <value / 1.0s north-star>}
 
 The measured graph is the full production inference step at 512 px — VAE
-encode, SD2.1 UNet (865M, bf16) at mid-timestep 273, x0 recovery, VAE decode,
-clamp — compiled as ONE XLA program (random weights; latency is weight-
-independent). The north-star reference point is the driver's <1 s/image
+encode, SD2.1 UNet (865M, bf16) at mid-timestep 273, x0 recovery, VAE
+decode, clamp — compiled as ONE XLA program (random weights; latency is
+weight-independent). Every iteration uses a fresh, run-unique input and is
+individually fenced with block_until_ready, so request/result caches in the
+execution path (e.g. the axon terminal's) cannot short-circuit the
+measurement. The north-star reference point is the driver's <1 s/image
 target (BASELINE.md); lower is better, vs_baseline < 1 beats it.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,21 +23,31 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    fn_args = None
     from __graft_entry__ import entry
 
     fn, args = entry()
+    vae_params, unet_params, _, prompt = args
     jfn = jax.jit(fn)
 
+    seed = int.from_bytes(os.urandom(4), "little")
+    rng = np.random.default_rng(seed)
+
+    def fresh_input():
+        return jnp.asarray(
+            rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32), jnp.bfloat16
+        )
+
     # compile + warmup
-    out = jfn(*args)
+    out = jfn(vae_params, unet_params, fresh_input(), prompt)
     jax.block_until_ready(out)
 
     times = []
     for _ in range(5):
+        lq = jax.block_until_ready(fresh_input())
         t0 = time.perf_counter()
-        out = jfn(*args)
+        out = jfn(vae_params, unet_params, lq, prompt)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
 

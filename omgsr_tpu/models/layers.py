@@ -201,6 +201,57 @@ def nearest_upsample_2x(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def upsample_conv_2x(p, x):
+    """nearest_upsample_2x followed by a 3x3 SAME conv, computed as four
+    phase-decomposed 2x2 convs at LOW resolution + pixel interleave.
+
+    Identical output, but 16 taps/output instead of 36 (2.25x fewer FLOPs)
+    and the 2x-upsampled tensor never materializes — this is the hot op of
+    the VAE decoder (Upsample2D in diffusers).
+
+    Derivation: out[2i+d, 2j+e] = sum_{u,v} W[u,v] X[floor((2i+d+u-1)/2),
+    floor((2j+e+v-1)/2)]; for d=0 the row taps collapse to {i-1: W[0],
+    i: W[1]+W[2]}, for d=1 to {i: W[0]+W[1], i+1: W[2]} (same per column).
+    """
+    if "lora_A" in p:
+        # LoRA-adapted upsampler ("conv" is a LoRA target): take the plain
+        # path so the low-rank delta applies
+        return conv2d(p, nearest_upsample_2x(x), padding=1)
+    w = p["kernel"].astype(x.dtype)  # (3, 3, I, O)
+    b, h, ww_, c = x.shape
+
+    # collapsed 2-tap kernels per phase and axis
+    def collapse(wk, d, axis):
+        # returns (2, ...) taps over input offsets {-1+d, 0+d} along `axis`
+        if d == 0:
+            first = jax.lax.index_in_dim(wk, 0, axis, keepdims=True)
+            second = jax.lax.index_in_dim(wk, 1, axis, keepdims=True) + jax.lax.index_in_dim(wk, 2, axis, keepdims=True)
+        else:
+            first = jax.lax.index_in_dim(wk, 0, axis, keepdims=True) + jax.lax.index_in_dim(wk, 1, axis, keepdims=True)
+            second = jax.lax.index_in_dim(wk, 2, axis, keepdims=True)
+        return jnp.concatenate([first, second], axis=axis)
+
+    phases = []
+    for d in (0, 1):
+        wr = collapse(w, d, 0)  # (2, 3, I, O)
+        for e in (0, 1):
+            wk = collapse(wr, e, 1)  # (2, 2, I, O)
+            pad_r = (1 - d, d)  # d=0: input rows i-1..i -> pad top
+            pad_c = (1 - e, e)
+            y = jax.lax.conv_general_dilated(
+                x, wk, (1, 1), (pad_r, pad_c),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            phases.append(y)
+
+    o = w.shape[-1]
+    out = jnp.stack(phases).reshape(2, 2, b, h, ww_, o)
+    out = out.transpose(2, 3, 0, 4, 1, 5).reshape(b, 2 * h, 2 * ww_, o)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
 def avg_pool_2x(x):
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"

@@ -33,6 +33,7 @@ from omgsr_tpu.models.layers import (
     nearest_upsample_2x,
     silu,
     timestep_embedding,
+    upsample_conv_2x,
 )
 from omgsr_tpu.ops.attention import dot_product_attention
 
@@ -276,8 +277,7 @@ def unet_apply(params, cfg: UNetConfig, sample, timesteps, encoder_hidden_states
             if "attentions" in blk:
                 h = _spatial_transformer(blk["attentions"][str(j)], h, encoder_hidden_states, rheads[i], g)
         if "upsamplers" in blk:
-            h = nearest_upsample_2x(h)
-            h = conv2d(blk["upsamplers"]["0"]["conv"], h, padding=1)
+            h = upsample_conv_2x(blk["upsamplers"]["0"]["conv"], h)
 
     h = group_norm_silu(params["conv_norm_out"], h, g, eps)
     h = conv2d(params["conv_out"], h, padding=1)

@@ -27,6 +27,7 @@ from omgsr_tpu.models.layers import (
     init_norm,
     nearest_upsample_2x,
     silu,
+    upsample_conv_2x,
 )
 from omgsr_tpu.ops.attention import dot_product_attention
 
@@ -250,8 +251,9 @@ def vae_decode(params, cfg: VAEConfig, z, unscale: bool = True):
         for j in range(cfg.layers_per_block + 1):
             h = _resnet(blk["resnets"][str(j)], h, g)
         if "upsamplers" in blk:
-            h = nearest_upsample_2x(h)
-            h = conv2d(blk["upsamplers"]["0"]["conv"], h, padding=1)
+            # phase-decomposed fused upsample+conv (layers.upsample_conv_2x):
+            # identical output, 2.25x fewer FLOPs, no 2x tensor materialized
+            h = upsample_conv_2x(blk["upsamplers"]["0"]["conv"], h)
     h = _vae_group_norm_silu(p["conv_norm_out"], h, g)
     h = conv2d(p["conv_out"], h, padding=1)
     return h

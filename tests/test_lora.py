@@ -42,7 +42,9 @@ def test_zero_init_is_identity():
     ctx = jax.random.normal(jax.random.key(3), (1, 7, 16))
     base_out = U.unet_apply(p, TINY_UNET, x, 273, ctx)
     lora_out = U.unet_apply(combined, TINY_UNET, x, 273, ctx)
-    np.testing.assert_allclose(np.asarray(base_out), np.asarray(lora_out), atol=1e-6)
+    # atol covers float-order noise: LoRA-adapted upsamplers take the plain
+    # upsample+conv path while base uses the phase-decomposed fused one
+    np.testing.assert_allclose(np.asarray(base_out), np.asarray(lora_out), atol=2e-5)
 
 
 def test_nonzero_lora_changes_output_and_merge_matches():
