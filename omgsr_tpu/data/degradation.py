@@ -55,6 +55,7 @@ class DegradationPlan:
     final_mode: str
     gray: bool
     jitter: bool
+    jitter_order: tuple  # permutation of (brightness, contrast, saturation, hue)
     resize_bak: bool
     bak_mode: str
 
@@ -104,39 +105,52 @@ def draw_plan(
         final_mode=str(rng.choice(_MODES)),
         gray=bool(rng.uniform() < opt.get("gray_prob", 0.0)),
         jitter=bool(rng.uniform() < opt.get("color_jitter_prob", 0.0)),
+        jitter_order=tuple(int(i) for i in rng.permutation(4)),
         resize_bak=resize_bak,
         bak_mode=str(rng.choice(_MODES)),
     )
 
 
-def _color_jitter(key, img, brightness=(0.5, 1.5), contrast=(0.5, 1.5), saturation=(0, 1.5), hue=(-0.1, 0.1)):
-    """torchvision-style jitter in fixed order b,c,s,h (the reference
-    shuffles order per call, dataset/realesrgan.py:101-119; fixed order here,
-    config ships with color_jitter_prob 0)."""
+def _color_jitter(key, img, order=(0, 1, 2, 3), brightness=(0.5, 1.5), contrast=(0.5, 1.5), saturation=(0, 1.5), hue=(-0.1, 0.1)):
+    """torchvision-style jitter applied in host-shuffled ``order``
+    (reference shuffles per call via randperm, dataset/realesrgan.py:101-119)."""
     kb, kc, ks, kh = jax.random.split(key, 4)
-    f = jax.random.uniform(kb, (), jnp.float32, *brightness)
-    img = jnp.clip(img * f, 0, 1)
-    f = jax.random.uniform(kc, (), jnp.float32, *contrast)
-    gray = (img * jnp.asarray([0.2989, 0.587, 0.114])).sum(-1, keepdims=True)
-    img = jnp.clip(gray.mean((1, 2, 3), keepdims=True) * (1 - f) + img * f, 0, 1)
-    f = jax.random.uniform(ks, (), jnp.float32, *saturation)
-    img = jnp.clip(gray * (1 - f) + img * f, 0, 1)
-    # hue: rotate in YIQ approximation
-    f = jax.random.uniform(kh, (), jnp.float32, *hue) * 2 * math.pi
-    yiq = jnp.einsum(
-        "bhwc,cd->bhwd", img,
-        jnp.asarray([[0.299, 0.596, 0.211], [0.587, -0.274, -0.523], [0.114, -0.322, 0.312]], jnp.float32),
-    )
-    cosf, sinf = jnp.cos(f), jnp.sin(f)
-    rot = jnp.stack(
-        [jnp.asarray([1.0, 0, 0]), jnp.stack([jnp.zeros(()), cosf, -sinf]), jnp.stack([jnp.zeros(()), sinf, cosf])]
-    )
-    yiq = jnp.einsum("bhwc,cd->bhwd", yiq, rot.T)
-    img = jnp.einsum(
-        "bhwc,cd->bhwd", yiq,
-        jnp.asarray([[1.0, 1.0, 1.0], [0.956, -0.272, -1.106], [0.621, -0.647, 1.703]], jnp.float32),
-    )
-    return jnp.clip(img, 0, 1)
+
+    def do_brightness(img):
+        f = jax.random.uniform(kb, (), jnp.float32, *brightness)
+        return jnp.clip(img * f, 0, 1)
+
+    def do_contrast(img):
+        f = jax.random.uniform(kc, (), jnp.float32, *contrast)
+        gray = (img * jnp.asarray([0.2989, 0.587, 0.114])).sum(-1, keepdims=True)
+        return jnp.clip(gray.mean((1, 2, 3), keepdims=True) * (1 - f) + img * f, 0, 1)
+
+    def do_saturation(img):
+        f = jax.random.uniform(ks, (), jnp.float32, *saturation)
+        gray = (img * jnp.asarray([0.2989, 0.587, 0.114])).sum(-1, keepdims=True)
+        return jnp.clip(gray * (1 - f) + img * f, 0, 1)
+
+    def do_hue(img):
+        f = jax.random.uniform(kh, (), jnp.float32, *hue) * 2 * math.pi
+        yiq = jnp.einsum(
+            "bhwc,cd->bhwd", img,
+            jnp.asarray([[0.299, 0.596, 0.211], [0.587, -0.274, -0.523], [0.114, -0.322, 0.312]], jnp.float32),
+        )
+        cosf, sinf = jnp.cos(f), jnp.sin(f)
+        rot = jnp.stack(
+            [jnp.asarray([1.0, 0, 0]), jnp.stack([jnp.zeros(()), cosf, -sinf]), jnp.stack([jnp.zeros(()), sinf, cosf])]
+        )
+        yiq = jnp.einsum("bhwc,cd->bhwd", yiq, rot.T)
+        img = jnp.einsum(
+            "bhwc,cd->bhwd", yiq,
+            jnp.asarray([[1.0, 1.0, 1.0], [0.956, -0.272, -1.106], [0.621, -0.647, 1.703]], jnp.float32),
+        )
+        return jnp.clip(img, 0, 1)
+
+    fns = [do_brightness, do_contrast, do_saturation, do_hue]
+    for i in order:
+        img = fns[i](img)
+    return img
 
 
 def degrade(img_gt, kernels, key, plan: DegradationPlan, opt: dict):
@@ -183,7 +197,7 @@ def degrade(img_gt, kernels, key, plan: DegradationPlan, opt: dict):
         out = jnp.broadcast_to(g, out.shape)  # reference returns 1ch (would
         # break its own trainer); replicated to 3ch here
     if plan.jitter:
-        out = _color_jitter(keys[4], out)
+        out = _color_jitter(keys[4], out, plan.jitter_order)
 
     if plan.resize_bak:
         out = resize(out, h, w, plan.bak_mode)
