@@ -39,16 +39,18 @@ def main():
             rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32), jnp.bfloat16
         )
 
-    # compile + warmup
+    # compile + warmup (scalar fetch forces end-to-end completion)
     out = jfn(vae_params, unet_params, fresh_input(), prompt)
-    jax.block_until_ready(out)
+    float(jnp.mean(out))
 
     times = []
     for _ in range(5):
         lq = jax.block_until_ready(fresh_input())
         t0 = time.perf_counter()
         out = jfn(vae_params, unet_params, lq, prompt)
-        jax.block_until_ready(out)
+        # a scalar reduction fetch cannot be served without running the
+        # computation, unlike bare block_until_ready on some remote backends
+        float(jnp.mean(out))
         times.append(time.perf_counter() - t0)
 
     p50 = float(np.median(times))

@@ -71,10 +71,18 @@ class PairedDataset:
 
     def __getitem__(self, idx: int) -> np.ndarray:
         path = self.gt_list[idx]
-        img = Image.open(path).convert("RGB")
-        if "ffhq" in path and self.resolution == 512:
-            img = img.resize((512, 512), Image.LANCZOS)
-        arr = np.asarray(img, np.float32) / 255.0
+        arr8 = None
+        if "ffhq" not in path or self.resolution != 512:
+            from omgsr_tpu.data.imgdec_native import decode_rgb
+
+            arr8 = decode_rgb(path)  # native libjpeg/libpng fast path
+        if arr8 is not None:
+            arr = arr8.astype(np.float32) / 255.0
+        else:
+            img = Image.open(path).convert("RGB")
+            if "ffhq" in path and self.resolution == 512:
+                img = img.resize((512, 512), Image.LANCZOS)
+            arr = np.asarray(img, np.float32) / 255.0
         arr = _random_crop_reflect(arr, min(self.resolution, max(arr.shape[:2])), self.rng)
         if arr.shape[0] != self.resolution:
             img = Image.fromarray((arr * 255).astype(np.uint8)).resize(
