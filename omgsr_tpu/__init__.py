@@ -17,3 +17,24 @@ docstrings throughout).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep bare `import omgsr_tpu` light)."""
+    if name == "OMGSRSPipeline":
+        from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
+
+        return OMGSRSPipeline
+    if name == "OMGSRFPipeline":
+        from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+
+        return OMGSRFPipeline
+    if name == "TrainConfig":
+        from omgsr_tpu.config import TrainConfig
+
+        return TrainConfig
+    if name == "load_config":
+        from omgsr_tpu.config import load_config
+
+        return load_config
+    raise AttributeError(f"module 'omgsr_tpu' has no attribute {name!r}")

@@ -139,6 +139,15 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
         dataset = PairedDataset(cfg.dataset_txt_or_dir_paths, cfg.resolution, seed=cfg.seed)
         loader = PairedLoader(dataset, cfg.train_batch_size, degrader, seed=cfg.seed)
 
+    if cfg.max_train_steps is None:
+        # reference fallback: epochs * ceil(len(loader)/accum)
+        # (train/train_omgsr_s.py:319-325)
+        import math as _math
+
+        cfg.max_train_steps = cfg.num_train_epochs * _math.ceil(
+            len(loader) / cfg.gradient_accumulation_steps
+        )
+
     global_step = start_step
     micro_step = 0
     t0 = time.time()
