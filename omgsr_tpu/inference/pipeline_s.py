@@ -35,13 +35,18 @@ class OMGSRSPipeline:
         unet_cfg: UNetConfig = SD21_UNET,
         mid_timestep: int = 273,
         tile_batch: int = 4,
+        vae_tile: int | None = None,
     ):
+        """vae_tile: when set, VAE encode/decode stream through overlap-padded
+        tiles of this many pixels (inference.tiled_vae) — the vaehook
+        equivalent for images too large for a full-image VAE pass."""
         self.vae_params = vae_params
         self.unet_params = unet_params
         self.vae_cfg = vae_cfg
         self.unet_cfg = unet_cfg
         self.mid_timestep = mid_timestep
         self.tile_batch = tile_batch
+        self.vae_tile = vae_tile
         alpha_t = float(ddpm_alphas_cumprod()[mid_timestep])
         self.sqrt_alpha = math.sqrt(alpha_t)
         self.sqrt_one_minus_alpha = math.sqrt(1.0 - alpha_t)
@@ -61,9 +66,17 @@ class OMGSRSPipeline:
         tile_overlap: int,
         sample_latent: bool,
     ):
-        z = vae.vae_encode(
-            vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
-        )
+        if self.vae_tile and min(lq_img.shape[1], lq_img.shape[2]) > self.vae_tile:
+            from omgsr_tpu.inference.tiled_vae import streaming_vae_encode
+
+            z = streaming_vae_encode(
+                vae_params, self.vae_cfg, lq_img, tile=self.vae_tile,
+                est_size=self.vae_tile,
+            )
+        else:
+            z = vae.vae_encode(
+                vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
+            )
 
         def denoise(tiles):
             n = tiles.shape[0]
@@ -74,7 +87,15 @@ class OMGSRSPipeline:
 
         eps = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
         z0 = (z - self.sqrt_one_minus_alpha * eps) / self.sqrt_alpha
-        img = vae.vae_decode(vae_params, self.vae_cfg, z0)
+        if self.vae_tile and min(z0.shape[1], z0.shape[2]) > self.vae_tile // self.vae_cfg.downscale:
+            from omgsr_tpu.inference.tiled_vae import streaming_vae_decode
+
+            lat_tile = self.vae_tile // self.vae_cfg.downscale
+            img = streaming_vae_decode(
+                vae_params, self.vae_cfg, z0, tile=lat_tile, est_size=lat_tile
+            )
+        else:
+            img = vae.vae_decode(vae_params, self.vae_cfg, z0)
         return jnp.clip(img, -1.0, 1.0)
 
     def __call__(

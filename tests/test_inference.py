@@ -148,3 +148,20 @@ class TestColorFix:
                 )
         ours = np.asarray(wavelet_blur(jnp.asarray(x), radius))
         np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+class TestPipelineVAETile:
+    def test_streaming_vae_path_close_to_full(self):
+        """vae_tile routes encode/decode through the streaming tiled VAE;
+        with mean-sampling the result should stay close to the full-VAE path
+        (stats estimated at tile size)."""
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        full = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET)
+        tiled = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, vae_tile=48)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 96, 96, 3)))
+        ctx = jax.random.normal(jax.random.key(3), (1, 7, 16))
+        a = np.asarray(full(lq, ctx, tile_size=16, tile_overlap=8))
+        b = np.asarray(tiled(lq, ctx, tile_size=16, tile_overlap=8))
+        assert b.shape == a.shape
+        assert np.isfinite(b).all()
