@@ -73,7 +73,7 @@ def main(args):
 
     run_batch(
         image_names, infer_fn, args.output_dir, args.process_size, args.upscale,
-        args.align_method, dtype,
+        args.align_method, dtype, size_bucket=args.size_bucket,
     )
 
 
@@ -92,6 +92,8 @@ def parse_args(argv=None):
     parser.add_argument("--prompt_npz", type=str, default=None)
     parser.add_argument("--mid_timestep", type=int, default=244)
     parser.add_argument("--guidance_scale", type=float, default=1.0)
+    parser.add_argument("--size_bucket", type=int, default=64,
+                        help="pad inputs to multiples of this many px (one compiled graph per bucket); 0 disables")
     return parser.parse_args(argv)
 
 

@@ -94,7 +94,7 @@ def main(args):
 
     run_batch(
         image_names, infer_fn, args.output_dir, args.process_size, args.upscale,
-        args.align_method, dtype,
+        args.align_method, dtype, size_bucket=args.size_bucket,
     )
 
 
@@ -112,6 +112,8 @@ def parse_args(argv=None):
     parser.add_argument("--prompt", type=str, default="")
     parser.add_argument("--prompt_npz", type=str, default=None, help="precomputed prompt embeddings (.npz)")
     parser.add_argument("--mid_timestep", type=int, default=273)
+    parser.add_argument("--size_bucket", type=int, default=64,
+                        help="pad inputs to multiples of this many px (one compiled graph per bucket); 0 disables")
     return parser.parse_args(argv)
 
 

@@ -40,10 +40,14 @@ def run_batch(
     dtype,
     prefetch: int = 2,
     savers: int = 2,
+    size_bucket: int = 64,
 ):
     """infer_fn(lq_jnp, index) -> SR image array (1,H,W,3) in [-1,1] (async).
 
-    Returns average seconds/image over the run (device-fenced).
+    size_bucket: inputs are reflect-padded up to multiples of this many
+    pixels and the SR output cropped back — XLA compiles one graph per
+    bucket instead of one per distinct image shape (critical for
+    heterogeneous eval sets; 0 disables). Returns average seconds/image.
     """
     os.makedirs(output_dir, exist_ok=True)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -55,7 +59,13 @@ def run_batch(
             inp, resize_flag, orig = prepare_input(img, process_size, upscale)
             lq = pil_to_array_pm1(inp)
             src01 = pil_to_array_01(inp)
-            q.put((i, name, lq, src01, resize_flag, orig))
+            true_hw = lq.shape[1:3]
+            if size_bucket:
+                ph = (-lq.shape[1]) % size_bucket
+                pw = (-lq.shape[2]) % size_bucket
+                if ph or pw:
+                    lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            q.put((i, name, lq, src01, resize_flag, orig, true_hw))
         q.put(stop)
 
     t = threading.Thread(target=loader, daemon=True)
@@ -64,7 +74,8 @@ def run_batch(
     fix = {"adain": adain_color_fix, "wavelet": wavelet_color_fix}.get(align_method)
     fix_jit = jax.jit(fix) if fix else None
 
-    def save_one(out_dev, src01, name, resize_flag, orig, t_start, times):
+    def save_one(out_dev, src01, name, resize_flag, orig, true_hw, t_start, times):
+        out_dev = out_dev[:, : true_hw[0], : true_hw[1], :]  # crop bucket pad
         out01 = out_dev.astype(np.float32) * 0.5 + 0.5
         if fix_jit is not None:
             out01 = fix_jit(out01, src01)
@@ -84,11 +95,11 @@ def run_batch(
             item = q.get()
             if item is stop:
                 break
-            i, name, lq, src01, resize_flag, orig = item
+            i, name, lq, src01, resize_flag, orig, true_hw = item
             t0 = time.perf_counter()
             out = infer_fn(lq.astype(dtype_np(dtype)), i)  # async dispatch
             futures.append(
-                pool.submit(save_one, out, src01, name, resize_flag, orig, t0, times)
+                pool.submit(save_one, out, src01, name, resize_flag, orig, true_hw, t0, times)
             )
         for f in futures:
             f.result()
