@@ -50,7 +50,9 @@ def build_pipeline(args, dtype):
     )
 
 
-def main(args):
+def main(args=None):
+    if args is None:
+        args = parse_args()
     dtype = resolve_dtype(args.weight_dtype)
     if args.prompt_npz:
         d = load_prompt_npz(args.prompt_npz)
