@@ -1,0 +1,224 @@
+"""Independent torch re-implementations of the tiny VAE/UNet architectures
+following diffusers' module semantics (GroupNorm eps, attention scaling,
+GEGLU, skip ordering, timestep embedding). Used by test_activation_parity to
+cross-check the JAX models end-to-end from a shared param tree — the
+weight-port parity strategy of SURVEY §4 without needing real checkpoints.
+
+Weights load from the omgsr-tpu param tree (HWIO->OIHW, (in,out)->(out,in)),
+exercising the exact transposes the safetensors porters invert.
+"""
+
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def _conv(p):
+    w = torch.from_numpy(np.asarray(p["kernel"], np.float32).transpose(3, 2, 0, 1))
+    b = torch.from_numpy(np.asarray(p["bias"], np.float32)) if "bias" in p else None
+    return w, b
+
+
+def _lin(p):
+    w = torch.from_numpy(np.asarray(p["kernel"], np.float32).T)
+    b = torch.from_numpy(np.asarray(p["bias"], np.float32)) if "bias" in p else None
+    return w, b
+
+
+def _gn(x, p, groups, eps):
+    return F.group_norm(
+        x, groups,
+        torch.from_numpy(np.asarray(p["scale"], np.float32)),
+        torch.from_numpy(np.asarray(p["bias"], np.float32)),
+        eps,
+    )
+
+
+def _ln(x, p, eps=1e-5):
+    return F.layer_norm(
+        x, (x.shape[-1],),
+        torch.from_numpy(np.asarray(p["scale"], np.float32)),
+        torch.from_numpy(np.asarray(p["bias"], np.float32)),
+        eps,
+    )
+
+
+def _conv2d(x, p, stride=1, padding=1):
+    w, b = _conv(p)
+    return F.conv2d(x, w, b, stride=stride, padding=padding)
+
+
+def _linear(x, p):
+    w, b = _lin(p)
+    return F.linear(x, w, b)
+
+
+# ----------------------------------------------------------------------------
+# VAE
+# ----------------------------------------------------------------------------
+
+
+def vae_resnet(x, p, groups):
+    h = _conv2d(F.silu(_gn(x, p["norm1"], groups, 1e-6)), p["conv1"])
+    h = _conv2d(F.silu(_gn(h, p["norm2"], groups, 1e-6)), p["conv2"])
+    if "conv_shortcut" in p:
+        x = _conv2d(x, p["conv_shortcut"], padding=0)
+    return x + h
+
+
+def vae_attention(x, p, groups):
+    b, c, hh, ww = x.shape
+    h = _gn(x, p["group_norm"], groups, 1e-6)
+    h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+    q = _linear(h, p["to_q"])
+    k = _linear(h, p["to_k"])
+    v = _linear(h, p["to_v"])
+    o = F.scaled_dot_product_attention(
+        q.unsqueeze(1), k.unsqueeze(1), v.unsqueeze(1)
+    ).squeeze(1)
+    o = _linear(o, p["to_out"]["0"])
+    return x + o.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+
+
+def vae_mid(x, p, groups):
+    x = vae_resnet(x, p["resnets"]["0"], groups)
+    if "attentions" in p:
+        x = vae_attention(x, p["attentions"]["0"], groups)
+    return vae_resnet(x, p["resnets"]["1"], groups)
+
+
+def torch_vae_encode_features(params, cfg, x):
+    """NCHW pixels -> NCHW moments; mirrors diffusers Encoder.forward."""
+    p = params["encoder"]
+    g = cfg.norm_num_groups
+    h = _conv2d(x, p["conv_in"])
+    for i in range(len(cfg.block_out_channels)):
+        blk = p["down_blocks"][str(i)]
+        for j in range(cfg.layers_per_block):
+            h = vae_resnet(h, blk["resnets"][str(j)], g)
+        if "downsamplers" in blk:
+            h = F.pad(h, (0, 1, 0, 1))
+            h = _conv2d(h, blk["downsamplers"]["0"]["conv"], stride=2, padding=0)
+    h = vae_mid(h, p["mid_block"], g)
+    h = _conv2d(F.silu(_gn(h, p["conv_norm_out"], g, 1e-6)), p["conv_out"])
+    if "quant_conv" in params:
+        h = _conv2d(h, params["quant_conv"], padding=0)
+    return h
+
+
+def torch_vae_decode(params, cfg, z):
+    if "post_quant_conv" in params:
+        z = _conv2d(z, params["post_quant_conv"], padding=0)
+    p = params["decoder"]
+    g = cfg.norm_num_groups
+    h = _conv2d(z, p["conv_in"])
+    h = vae_mid(h, p["mid_block"], g)
+    for i in range(len(cfg.block_out_channels)):
+        blk = p["up_blocks"][str(i)]
+        for j in range(cfg.layers_per_block + 1):
+            h = vae_resnet(h, blk["resnets"][str(j)], g)
+        if "upsamplers" in blk:
+            h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+            h = _conv2d(h, blk["upsamplers"]["0"]["conv"])
+    h = _conv2d(F.silu(_gn(h, p["conv_norm_out"], g, 1e-6)), p["conv_out"])
+    return h
+
+
+# ----------------------------------------------------------------------------
+# UNet
+# ----------------------------------------------------------------------------
+
+
+def unet_resnet(x, p, temb, groups, eps):
+    h = _conv2d(F.silu(_gn(x, p["norm1"], groups, eps)), p["conv1"])
+    h = h + _linear(F.silu(temb), p["time_emb_proj"])[:, :, None, None]
+    h = _conv2d(F.silu(_gn(h, p["norm2"], groups, eps)), p["conv2"])
+    if "conv_shortcut" in p:
+        x = _conv2d(x, p["conv_shortcut"], padding=0)
+    return x + h
+
+
+def _mha(x, ctx, p, heads):
+    b, s, c = x.shape
+    q = _linear(x, p["to_q"])
+    k = _linear(ctx, p["to_k"])
+    v = _linear(ctx, p["to_v"])
+    d = q.shape[-1] // heads
+    q = q.view(b, s, heads, d).transpose(1, 2)
+    k = k.view(b, ctx.shape[1], heads, d).transpose(1, 2)
+    v = v.view(b, ctx.shape[1], heads, d).transpose(1, 2)
+    o = F.scaled_dot_product_attention(q, k, v).transpose(1, 2).reshape(b, s, heads * d)
+    return _linear(o, p["to_out"]["0"])
+
+
+def transformer_block(x, ctx, p, heads):
+    x = x + _mha(_ln(x, p["norm1"]), _ln(x, p["norm1"]), p["attn1"], heads)
+    x = x + _mha(_ln(x, p["norm2"]), ctx, p["attn2"], heads)
+    h = _linear(_ln(x, p["norm3"]), p["ff"]["net"]["0"]["proj"])
+    a, gate = h.chunk(2, dim=-1)
+    return x + _linear(a * F.gelu(gate), p["ff"]["net"]["2"])
+
+
+def spatial_transformer(x, ctx, p, heads, groups):
+    b, c, hh, ww = x.shape
+    res = x
+    h = _gn(x, p["norm"], groups, 1e-6)
+    h = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+    h = _linear(h, p["proj_in"])
+    for i in sorted(p["transformer_blocks"], key=int):
+        h = transformer_block(h, ctx, p["transformer_blocks"][i], heads)
+    h = _linear(h, p["proj_out"])
+    return res + h.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+
+
+def torch_unet_apply(params, cfg, sample, timestep, ctx):
+    """NCHW latent + (B,S,C) context -> NCHW epsilon; diffusers
+    UNet2DConditionModel.forward semantics."""
+    g = cfg.norm_num_groups
+    eps = cfg.norm_eps
+    bo = list(cfg.block_out_channels)
+
+    t = torch.full((sample.shape[0],), float(timestep))
+    half = bo[0] // 2
+    freq = torch.exp(-math.log(10000) * torch.arange(half, dtype=torch.float32) / half)
+    emb = t[:, None] * freq[None]
+    temb = torch.cat([emb.cos(), emb.sin()], dim=-1)
+    temb = _linear(temb, params["time_embedding"]["linear_1"])
+    temb = _linear(F.silu(temb), params["time_embedding"]["linear_2"])
+
+    h = _conv2d(sample, params["conv_in"])
+    skips = [h]
+    for i, btype in enumerate(cfg.down_block_types):
+        blk = params["down_blocks"][str(i)]
+        heads = cfg.num_attention_heads[i]
+        for j in range(cfg.layers_per_block):
+            h = unet_resnet(h, blk["resnets"][str(j)], temb, g, eps)
+            if "attentions" in blk:
+                h = spatial_transformer(h, ctx, blk["attentions"][str(j)], heads, g)
+            skips.append(h)
+        if "downsamplers" in blk:
+            h = _conv2d(h, blk["downsamplers"]["0"]["conv"], stride=2, padding=1)
+            skips.append(h)
+
+    mid = params["mid_block"]
+    h = unet_resnet(h, mid["resnets"]["0"], temb, g, eps)
+    h = spatial_transformer(h, ctx, mid["attentions"]["0"], cfg.num_attention_heads[-1], g)
+    h = unet_resnet(h, mid["resnets"]["1"], temb, g, eps)
+
+    rheads = list(reversed(cfg.num_attention_heads))
+    for i, btype in enumerate(cfg.up_block_types):
+        blk = params["up_blocks"][str(i)]
+        for j in range(cfg.layers_per_block + 1):
+            h = torch.cat([h, skips.pop()], dim=1)
+            h = unet_resnet(h, blk["resnets"][str(j)], temb, g, eps)
+            if "attentions" in blk:
+                h = spatial_transformer(h, ctx, blk["attentions"][str(j)], rheads[i], g)
+        if "upsamplers" in blk:
+            h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+            h = _conv2d(h, blk["upsamplers"]["0"]["conv"])
+
+    h = _conv2d(F.silu(_gn(h, params["conv_norm_out"], g, eps)), params["conv_out"])
+    return h
