@@ -87,3 +87,30 @@ def test_one_step_pipeline_parity():
         ref = _nhwc(torch.clamp(torch_vae_decode(vp, TINY_VAE, t_z0 / TINY_VAE.scaling_factor), -1, 1))
 
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=2e-3)
+
+
+def test_flux_parity():
+    from omgsr_tpu.diffusion import latent_image_ids
+    from omgsr_tpu.models import flux as FX
+    from tests.test_models import TINY_FLUX
+    from tests.torch_ref_models import torch_flux_apply
+
+    p = FX.init_flux(jax.random.key(8), TINY_FLUX)
+    tok = jax.random.normal(jax.random.key(9), (2, 16, 64))
+    ctx = jax.random.normal(jax.random.key(10), (2, 5, 16))
+    pooled = jax.random.normal(jax.random.key(11), (2, 8))
+    img_ids = latent_image_ids(4, 4)
+    txt_ids = jnp.zeros((5, 3))
+    ours = np.asarray(
+        FX.flux_apply(p, TINY_FLUX, tok, 0.5, 1.25, pooled, ctx, txt_ids, img_ids)
+    )
+    with torch.no_grad():
+        ref = torch_flux_apply(
+            p, TINY_FLUX,
+            torch.from_numpy(np.asarray(tok, np.float32)), 0.5, 1.25,
+            torch.from_numpy(np.asarray(pooled, np.float32)),
+            torch.from_numpy(np.asarray(ctx, np.float32)),
+            torch.from_numpy(np.asarray(txt_ids, np.float32)),
+            torch.from_numpy(np.asarray(img_ids, np.float32)),
+        ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=2e-3)

@@ -222,3 +222,127 @@ def torch_unet_apply(params, cfg, sample, timestep, ctx):
 
     h = _conv2d(F.silu(_gn(h, params["conv_norm_out"], g, eps)), params["conv_out"])
     return h
+
+
+# ----------------------------------------------------------------------------
+# FLUX DiT
+# ----------------------------------------------------------------------------
+
+
+def _rope_cos_sin_torch(ids, axes_dims, theta=10000):
+    outs_cos, outs_sin = [], []
+    for a, d in enumerate(axes_dims):
+        half = d // 2
+        freqs = 1.0 / (theta ** (torch.arange(half, dtype=torch.float64) * 2.0 / d))
+        angle = ids[:, a].double()[:, None] * freqs[None, :]
+        outs_cos.append(angle.cos())
+        outs_sin.append(angle.sin())
+    return torch.cat(outs_cos, -1).float(), torch.cat(outs_sin, -1).float()
+
+
+def _apply_rope_torch(x, cos, sin):
+    b, s, h, d = x.shape
+    xf = x.reshape(b, s, h, d // 2, 2)
+    a, bb = xf[..., 0], xf[..., 1]
+    c = cos[None, :, None, :]
+    sn = sin[None, :, None, :]
+    return torch.stack([a * c - bb * sn, bb * c + a * sn], dim=-1).reshape(b, s, h, d)
+
+
+def _rms(x, p, eps=1e-6):
+    w = torch.from_numpy(np.asarray(p["scale"], np.float32))
+    return x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps) * w
+
+
+def _heads_t(x, n):
+    b, s, d = x.shape
+    return x.view(b, s, n, d // n)
+
+
+def _mlp_embed(p, x):
+    return _linear(F.silu(_linear(x, p["linear_1"])), p["linear_2"])
+
+
+def _tstep_embed_torch(t, dim=256):
+    half = dim // 2
+    freq = torch.exp(-math.log(10000) * torch.arange(half, dtype=torch.float32) / half)
+    emb = t[:, None] * freq[None]
+    return torch.cat([emb.cos(), emb.sin()], dim=-1)
+
+
+def torch_flux_apply(params, cfg, hidden, timestep, guidance, pooled, ctx, txt_ids, img_ids):
+    """(B,S,64) packed latents etc. -> velocity; diffusers
+    FluxTransformer2DModel semantics."""
+    n = cfg.num_attention_heads
+    img = _linear(hidden, params["x_embedder"])
+    txt = _linear(ctx, params["context_embedder"])
+
+    b = img.shape[0]
+    t = torch.full((b,), float(timestep)) * 1000.0
+    temb = _mlp_embed(params["time_text_embed"]["timestep_embedder"], _tstep_embed_torch(t))
+    if cfg.guidance_embeds:
+        g = torch.full((b,), float(guidance)) * 1000.0
+        temb = temb + _mlp_embed(params["time_text_embed"]["guidance_embedder"], _tstep_embed_torch(g))
+    temb = temb + _mlp_embed(params["time_text_embed"]["text_embedder"], pooled)
+
+    ids = torch.cat([txt_ids, img_ids], dim=0)
+    cos, sin = _rope_cos_sin_torch(ids, cfg.axes_dims_rope, cfg.rope_theta)
+
+    def modulate(x, shift, scale):
+        xn = F.layer_norm(x, (x.shape[-1],), eps=1e-6)
+        return xn * (1 + scale[:, None]) + shift[:, None]
+
+    for i in sorted(params["transformer_blocks"], key=int):
+        p = params["transformer_blocks"][i]
+        mod = _linear(F.silu(temb), p["norm1"]["linear"]).chunk(6, -1)
+        cmod = _linear(F.silu(temb), p["norm1_context"]["linear"]).chunk(6, -1)
+        img_n = modulate(img, mod[0], mod[1])
+        txt_n = modulate(txt, cmod[0], cmod[1])
+        ap = p["attn"]
+        q = _rms(_heads_t(_linear(img_n, ap["to_q"]), n), ap["norm_q"])
+        k = _rms(_heads_t(_linear(img_n, ap["to_k"]), n), ap["norm_k"])
+        v = _heads_t(_linear(img_n, ap["to_v"]), n)
+        tq = _rms(_heads_t(_linear(txt_n, ap["add_q_proj"]), n), ap["norm_added_q"])
+        tk = _rms(_heads_t(_linear(txt_n, ap["add_k_proj"]), n), ap["norm_added_k"])
+        tv = _heads_t(_linear(txt_n, ap["add_v_proj"]), n)
+        q = torch.cat([tq, q], dim=1)
+        k = torch.cat([tk, k], dim=1)
+        v = torch.cat([tv, v], dim=1)
+        q = _apply_rope_torch(q, cos, sin)
+        k = _apply_rope_torch(k, cos, sin)
+        o = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2)
+        ).transpose(1, 2)
+        o = o.reshape(o.shape[0], o.shape[1], -1)
+        t_len = txt.shape[1]
+        img = img + mod[2][:, None] * _linear(o[:, t_len:], ap["to_out"]["0"])
+        txt = txt + cmod[2][:, None] * _linear(o[:, :t_len], ap["to_add_out"])
+        h = modulate(img, mod[3], mod[4])
+        h = F.gelu(_linear(h, p["ff"]["net"]["0"]["proj"]), approximate="tanh")
+        img = img + mod[5][:, None] * _linear(h, p["ff"]["net"]["2"])
+        ch = modulate(txt, cmod[3], cmod[4])
+        ch = F.gelu(_linear(ch, p["ff_context"]["net"]["0"]["proj"]), approximate="tanh")
+        txt = txt + cmod[5][:, None] * _linear(ch, p["ff_context"]["net"]["2"])
+
+    x = torch.cat([txt, img], dim=1)
+    for i in sorted(params["single_transformer_blocks"], key=int):
+        p = params["single_transformer_blocks"][i]
+        shift, scale, gate = _linear(F.silu(temb), p["norm"]["linear"]).chunk(3, -1)
+        xn = modulate(x, shift, scale)
+        ap = p["attn"]
+        q = _rms(_heads_t(_linear(xn, ap["to_q"]), n), ap["norm_q"])
+        k = _rms(_heads_t(_linear(xn, ap["to_k"]), n), ap["norm_k"])
+        v = _heads_t(_linear(xn, ap["to_v"]), n)
+        q = _apply_rope_torch(q, cos, sin)
+        k = _apply_rope_torch(k, cos, sin)
+        o = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2)
+        ).transpose(1, 2)
+        o = o.reshape(o.shape[0], o.shape[1], -1)
+        mlp = F.gelu(_linear(xn, p["proj_mlp"]), approximate="tanh")
+        x = x + gate[:, None] * _linear(torch.cat([o, mlp], dim=-1), p["proj_out"])
+    img = x[:, txt.shape[1]:]
+
+    scale, shift = _linear(F.silu(temb), params["norm_out"]["linear"]).chunk(2, -1)
+    img = F.layer_norm(img, (img.shape[-1],), eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
+    return _linear(img, params["proj_out"])
