@@ -114,3 +114,32 @@ def test_flux_parity():
             torch.from_numpy(np.asarray(img_ids, np.float32)),
         ).numpy()
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=2e-3)
+
+
+def test_convnext_and_dists_parity():
+    from omgsr_tpu.losses.dists import dists_loss, init_dists
+    from omgsr_tpu.models import convnext as CN
+    from omgsr_tpu.models.configs import ConvNeXtConfig
+    from tests.torch_ref_models import torch_convnext_features, torch_dists
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 24, 32))
+    p = CN.init_convnext(jax.random.key(12), cfg)
+    x = jnp.tanh(jax.random.normal(jax.random.key(13), (1, 64, 64, 3)))
+
+    ours = CN.convnext_features(p, CN.normalize_from_pm1(x), 3)
+    with torch.no_grad():
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, -1, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, -1, 1, 1)
+        xt = _nchw(x) * 0.5 + 0.5
+        ref = torch_convnext_features(p, (xt - mean) / std, 3)
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(
+            np.asarray(o), r.numpy().transpose(0, 2, 3, 1), atol=5e-5, rtol=1e-3
+        )
+
+    y = jnp.tanh(jax.random.normal(jax.random.key(14), (1, 64, 64, 3)))
+    st = init_dists(p, cfg.dims)
+    ours_d = float(dists_loss(st, x, y))
+    with torch.no_grad():
+        ref_d = torch_dists(p, [3] + list(cfg.dims[:3]), _nchw(x), _nchw(y))
+    np.testing.assert_allclose(ours_d, ref_d, atol=1e-4, rtol=1e-3)

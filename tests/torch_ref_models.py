@@ -346,3 +346,89 @@ def torch_flux_apply(params, cfg, hidden, timestep, guidance, pooled, ctx, txt_i
     scale, shift = _linear(F.silu(temb), params["norm_out"]["linear"]).chunk(2, -1)
     img = F.layer_norm(img, (img.shape[-1],), eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
     return _linear(img, params["proj_out"])
+
+
+# ----------------------------------------------------------------------------
+# DINOv3 ConvNeXt feature extractor + DISTS
+# ----------------------------------------------------------------------------
+
+
+def _ln_cf(x, p, eps=1e-6):
+    """channels-first LayerNorm (normalize over C), as in the DINOv3 tree."""
+    w = torch.from_numpy(np.asarray(p["scale"], np.float32))
+    b = torch.from_numpy(np.asarray(p["bias"], np.float32))
+    u = x.mean(1, keepdim=True)
+    s = (x - u).pow(2).mean(1, keepdim=True)
+    x = (x - u) / torch.sqrt(s + eps)
+    return w[:, None, None] * x + b[:, None, None]
+
+
+def convnext_block(x, p):
+    inp = x
+    w, b = _conv(p["dwconv"])
+    x = F.conv2d(x, w, b, padding=3, groups=x.shape[1])
+    x = x.permute(0, 2, 3, 1)
+    x = _ln(x, p["norm"], eps=1e-6)
+    x = _linear(x, p["pwconv1"])
+    x = F.gelu(x)
+    x = _linear(x, p["pwconv2"])
+    x = torch.from_numpy(np.asarray(p["gamma"], np.float32)) * x
+    x = x.permute(0, 3, 1, 2)
+    return inp + x
+
+
+def torch_convnext_features(params, x, num_stages=3):
+    feats = []
+    for i in range(num_stages):
+        dl = params["downsample_layers"][str(i)]
+        if i == 0:
+            w, b = _conv(dl["0"])
+            x = F.conv2d(x, w, b, stride=4)
+            x = _ln_cf(x, dl["1"])
+        else:
+            x = _ln_cf(x, dl["0"])
+            w, b = _conv(dl["1"])
+            x = F.conv2d(x, w, b, stride=2)
+        for j in sorted(params["stages"][str(i)], key=int):
+            x = convnext_block(x, params["stages"][str(i)][j])
+        feats.append(x)
+    return feats
+
+
+def torch_dists(backbone_params, channels, x, y):
+    """DISTS score with Hanning L2-pooling, reference formula
+    (dinov3_gan/dinov3_convnext_dists.py:79-108)."""
+    a = np.hanning(5)[1:-1]
+    g = np.outer(a, a)
+    g = torch.from_numpy((g / g.sum()).astype(np.float32))
+
+    def l2pool(f):
+        c = f.shape[1]
+        k = g[None, None].repeat(c, 1, 1, 1)
+        return (F.conv2d(f**2, k, stride=1, padding=1, groups=c) + 1e-12).sqrt()
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, -1, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, -1, 1, 1)
+
+    def feats(img):
+        img01 = img * 0.5 + 0.5
+        h = (img01 - mean) / std
+        fs = torch_convnext_features(backbone_params, h)
+        return [img01] + [l2pool(f) for f in fs]
+
+    f0 = feats(x)
+    f1 = feats(y)
+    w = 1.0 / (2 * sum(channels))
+    c1 = c2 = 1e-6
+    dist1 = dist2 = 0.0
+    for a_, b_ in zip(f0, f1):
+        xm = a_.mean([2, 3], keepdim=True)
+        ym = b_.mean([2, 3], keepdim=True)
+        s1 = (2 * xm * ym + c1) / (xm**2 + ym**2 + c1)
+        dist1 = dist1 + (w * s1).sum(1, keepdim=True)
+        xv = ((a_ - xm) ** 2).mean([2, 3], keepdim=True)
+        yv = ((b_ - ym) ** 2).mean([2, 3], keepdim=True)
+        cov = (a_ * b_).mean([2, 3], keepdim=True) - xm * ym
+        s2 = (2 * cov + c2) / (xv + yv + c2)
+        dist2 = dist2 + (w * s2).sum(1, keepdim=True)
+    return float((1 - (dist1 + dist2)).mean())
