@@ -64,6 +64,13 @@ class BaseTrainer:
         """
         self.cfg = cfg
         self.frozen = frozen
+        # frozen model weights enter the jitted step as ARGUMENTS, not
+        # captured constants — capturing 2+ GB of frozen params inflates the
+        # lowered HLO payload (and breaks remote-compile services); static
+        # config objects stay closed over
+        self._frozen_arrays = {
+            k: v for k, v in frozen.items() if not k.endswith("_cfg") and k != "dists"
+        }
         disc_params, sn_state, self.disc_meta = disc_bundle
         self.gen_tx = make_optimizer(cfg)
         self.disc_tx = make_optimizer(cfg)
@@ -76,7 +83,19 @@ class BaseTrainer:
                 "opt": self.disc_tx.init(disc_params),
             },
         }
-        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._step_fn = jax.jit(self._train_step_with_frozen, donate_argnums=(0,))
+
+    def _train_step_with_frozen(self, state, batch, rng, frozen_arrays):
+        prev = self.frozen
+        merged = dict(prev)
+        merged.update(frozen_arrays)
+        if "dists" in prev and "backbone" in frozen_arrays:
+            merged["dists"] = {**prev["dists"], "backbone": frozen_arrays["backbone"]}
+        self.frozen = merged
+        try:
+            return self._train_step(state, batch, rng)
+        finally:
+            self.frozen = prev
 
     # ---- model hooks -------------------------------------------------------
     def encode_fixed(self, img, rng):
@@ -174,7 +193,9 @@ class BaseTrainer:
 
     def train_step(self, batch, rng):
         """batch: {"lq": (B,H,W,3), "hq": (B,H,W,3)} in [-1,1]."""
-        self.state, (metrics, pred) = self._step_fn(self.state, batch, rng)
+        self.state, (metrics, pred) = self._step_fn(
+            self.state, batch, rng, self._frozen_arrays
+        )
         return metrics, pred
 
 
