@@ -64,13 +64,6 @@ class BaseTrainer:
         """
         self.cfg = cfg
         self.frozen = frozen
-        # frozen model weights enter the jitted step as ARGUMENTS, not
-        # captured constants — capturing 2+ GB of frozen params inflates the
-        # lowered HLO payload (and breaks remote-compile services); static
-        # config objects stay closed over
-        self._frozen_arrays = {
-            k: v for k, v in frozen.items() if not k.endswith("_cfg") and k != "dists"
-        }
         disc_params, sn_state, self.disc_meta = disc_bundle
         self.gen_tx = make_optimizer(cfg)
         self.disc_tx = make_optimizer(cfg)
@@ -84,6 +77,19 @@ class BaseTrainer:
             },
         }
         self._step_fn = jax.jit(self._train_step_with_frozen, donate_argnums=(0,))
+
+    @property
+    def _frozen_arrays(self):
+        # frozen model weights enter the jitted step as ARGUMENTS, not
+        # captured constants — capturing 2+ GB of frozen params inflates the
+        # lowered HLO payload (and breaks remote-compile services); static
+        # config objects stay closed over. Computed per call so callers may
+        # re-shard self.frozen (e.g. dryrun_multichip's fsdp placement).
+        return {
+            k: v
+            for k, v in self.frozen.items()
+            if not k.endswith("_cfg") and k != "dists"
+        }
 
     def _train_step_with_frozen(self, state, batch, rng, frozen_arrays):
         prev = self.frozen
