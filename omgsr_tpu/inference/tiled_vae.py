@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from omgsr_tpu.models import vae as vae_mod
-from omgsr_tpu.models.layers import group_norm
 
 ENCODER_PAD = 32  # pixels of context per tile side (vaehook.py:546)
 DECODER_PAD = 11  # latents of context per tile side

@@ -9,7 +9,7 @@ Values mirror the HF checkpoint configs the reference loads through diffusers
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 

@@ -11,8 +11,6 @@ fused kernel on TPU with an XLA fallback everywhere else.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

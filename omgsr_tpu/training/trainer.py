@@ -25,7 +25,6 @@ psum that DDP/NCCL performed in the reference (SURVEY.md §2c).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
