@@ -118,7 +118,12 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
 
     trainer = TrainerF(cfg, frozen, gen_lora, disc_bundle)
 
+    # state["step"] counts MICRO-steps (lockstep with MultiSteps' mini_step);
+    # the optimizer/global step is its floor division by the accumulation
+    # factor. Resuming micro_step from the persisted count keeps the local
+    # boundary check aligned with MultiSteps even mid-accumulation.
     start_step = 0
+    micro_step = 0
     if cfg.resume_from_checkpoint:
         path = (
             latest_checkpoint(cfg.output_dir)
@@ -127,8 +132,12 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
         )
         if path:
             trainer.state = restore_train_state(path, trainer.state)
-            start_step = int(trainer.state["step"])
-            logger.info("resumed from %s at step %d", path, start_step)
+            micro_step = int(trainer.state["step"])
+            start_step = micro_step // max(cfg.gradient_accumulation_steps, 1)
+            logger.info(
+                "resumed from %s at optimizer step %d (micro step %d)",
+                path, start_step, micro_step,
+            )
 
     if loader is None:
         with open(
@@ -149,7 +158,6 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
         )
 
     global_step = start_step
-    micro_step = 0
     t0 = time.time()
     # reference -F adapter names: train/train_omgsr_f.py:150,176
     adapter_names = {"vae_encoder": "vae_encoder_adapter", "denoiser": "flux_adapter"}

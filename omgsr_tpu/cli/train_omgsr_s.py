@@ -91,8 +91,14 @@ def main(argv=None):
     run_training(cfg)
 
 
-def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
-    """Programmatic entry (also used by tests with tiny models)."""
+def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None, trainer=None):
+    """Programmatic entry (also used by tests with tiny models).
+
+    trainer: pass a pre-built TrainerS to reuse its compiled step across
+    runs (tests resume against the same instance to avoid recompiles);
+    its cfg must match the loop-relevant fields of ``cfg``
+    (gradient_accumulation_steps in particular).
+    """
     from omgsr_tpu.data.degradation import RealESRGANDegrader
     from omgsr_tpu.data.dataset import PairedDataset, PairedLoader
     from omgsr_tpu.lora import SD_TARGET_MODULES, init_lora_tree
@@ -112,28 +118,35 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
     save_config(cfg, os.path.join(cfg.output_dir, "cfg.yml"))
     dtype = resolve_dtype(cfg.mixed_precision)
 
-    if frozen is None:
-        frozen, cn_cfg = build_frozen_s(cfg, dtype)
-        frozen["prompt_embeds"] = encode_fixed_prompt(cfg, dtype)
-        channels = cn_cfg.dims[:3]
-    else:
-        channels = cfg.extra["disc_channels"]
-
     key = jax.random.key(cfg.seed)
     k_vae, k_unet, k_disc, key = jax.random.split(key, 4)
-    gen_lora = {
-        "vae_encoder": init_lora_tree(
-            k_vae, frozen["vae"]["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
-        ),
-        "denoiser": init_lora_tree(k_unet, frozen["unet"], SD_TARGET_MODULES, cfg.unet_lora_rank),
-    }
-    if disc_bundle is None:
-        disc_bundle = init_discriminator(k_disc, channels, cfg.resolution)
+    if trainer is None:
+        if frozen is None:
+            frozen, cn_cfg = build_frozen_s(cfg, dtype)
+            frozen["prompt_embeds"] = encode_fixed_prompt(cfg, dtype)
+            channels = cn_cfg.dims[:3]
+        else:
+            channels = cfg.extra["disc_channels"]
 
-    trainer = TrainerS(cfg, frozen, gen_lora, disc_bundle)
+        gen_lora = {
+            "vae_encoder": init_lora_tree(
+                k_vae, frozen["vae"]["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
+            ),
+            "denoiser": init_lora_tree(k_unet, frozen["unet"], SD_TARGET_MODULES, cfg.unet_lora_rank),
+        }
+        if disc_bundle is None:
+            disc_bundle = init_discriminator(k_disc, channels, cfg.resolution)
 
-    # resume (full state — beyond the reference's unimplemented stub)
+        trainer = TrainerS(cfg, frozen, gen_lora, disc_bundle)
+
+    # resume (full state — beyond the reference's unimplemented stub).
+    # state["step"] counts MICRO-steps (one per train_step call, in lockstep
+    # with MultiSteps' mini_step); the optimizer/global step is its floor
+    # division by the accumulation factor. Resuming micro_step from the
+    # persisted count keeps the local `micro_step % accum` boundary aligned
+    # with MultiSteps' internal counter even mid-accumulation.
     start_step = 0
+    micro_step = 0
     if cfg.resume_from_checkpoint:
         path = (
             latest_checkpoint(cfg.output_dir)
@@ -142,8 +155,12 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
         )
         if path:
             trainer.state = restore_train_state(path, trainer.state)
-            start_step = int(trainer.state["step"])
-            logger.info("resumed from %s at step %d", path, start_step)
+            micro_step = int(trainer.state["step"])
+            start_step = micro_step // max(cfg.gradient_accumulation_steps, 1)
+            logger.info(
+                "resumed from %s at optimizer step %d (micro step %d)",
+                path, start_step, micro_step,
+            )
 
     if loader is None:
         with open(
@@ -164,7 +181,6 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
         )
 
     global_step = start_step
-    micro_step = 0
     t0 = time.time()
     adapter_names = {"vae_encoder": "vae_encoder_lora_adapter", "denoiser": "unet_lora_adapter"}
     while global_step < (cfg.max_train_steps or 0):

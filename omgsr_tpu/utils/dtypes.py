@@ -9,6 +9,7 @@ copies for trainable params and optimizer state.
 import jax.numpy as jnp
 
 DTYPE_MAP = {
+    "no": jnp.float32,  # accelerate's --mixed_precision=no
     "fp32": jnp.float32,
     "float32": jnp.float32,
     "bf16": jnp.bfloat16,
