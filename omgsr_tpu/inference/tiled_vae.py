@@ -18,6 +18,24 @@ Replaces the reference's vaehook.py task-queue machine (infer/vaehook.py:
    cropping each tile's valid center (pad 32 px encode / 11 latents decode,
    vaehook:546) — so tiles are seamless and normalization is globally
    consistent without keeping full-image activations alive.
+
+3. ``exact_vae_encode/decode`` (single-chip, EXACT; also reachable as
+   ``streaming_vae_*(..., stats="exact")``): the TPU-native analogue of
+   vaehook's DEFAULT mode (per-tile GroupNorm stat accumulation before
+   normalizing, infer/vaehook.py:459-534, :774-825). The network is executed
+   as a flat op plan — each conv/resnet primitive is its own jitted call on a
+   stored full-resolution boundary buffer, so the working set is a few widest
+   -layer buffers instead of the fused whole-graph's — and every GroupNorm's
+   statistics are accumulated TILE-WISE over row chunks of the stored buffer
+   (fp32, two passes: mean, then centered second moment — no cancellation),
+   then applied elementwise. Because chunk sums partition the image exactly,
+   the result equals untiled execution to float tolerance — strictly stronger
+   than vaehook's exact mode, whose summary() pixel-weight-averages per-tile
+   VARIANCES (dropping the between-tile mean-variance term, :489-508).
+   Mid-block attention policy: applied globally at 1/8 resolution (exact;
+   its GroupNorm sees the full buffer). O(n_latent^2) attention cost bounds
+   practical size — at 4K (512x512 latent) it is ~70 TFLOP, beyond that use
+   the sharded mode or fast stats.
 """
 
 from __future__ import annotations
@@ -184,14 +202,22 @@ def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_de
 
 def streaming_vae_encode(
     params, cfg, x, rng=None, sample: bool = False, tile: int = 512, pad: int = ENCODER_PAD,
-    est_size: int = 512,
+    est_size: int = 512, stats: str = "fast",
 ):
     """pixels (1,H,W,3) -> scaled latent, bounded memory.
+
+    stats="fast": GroupNorm statistics estimated from a downsampled copy
+    (vaehook fast mode). stats="exact": exact global statistics via the
+    op-streamed plan (``exact_vae_encode``; tile/pad/est_size unused).
 
     Sampling uses the mean if rng is None. NOTE the latent noise is drawn
     per-tile deterministically from tile content when sampling — pass
     rng=None (mean) for strict tile-order invariance.
     """
+    if stats == "exact":
+        return exact_vae_encode(params, cfg, x, rng=rng, sample=sample)
+    if stats != "fast":
+        raise ValueError(f"stats must be 'fast' or 'exact', got {stats!r}")
     ds = cfg.downscale
 
     def net(p, c, xx):
@@ -201,15 +227,220 @@ def streaming_vae_encode(
 
 
 def streaming_vae_decode(
-    params, cfg, z, tile: int = 64, pad: int = DECODER_PAD, est_size: int = 64
+    params, cfg, z, tile: int = 64, pad: int = DECODER_PAD, est_size: int = 64,
+    stats: str = "fast",
 ):
-    """scaled latent (1,h,w,C) -> pixels, bounded memory."""
+    """scaled latent (1,h,w,C) -> pixels, bounded memory. See
+    streaming_vae_encode for the ``stats`` option."""
+    if stats == "exact":
+        return exact_vae_decode(params, cfg, z)
+    if stats != "fast":
+        raise ValueError(f"stats must be 'fast' or 'exact', got {stats!r}")
     ds = cfg.downscale
 
     def net(p, c, zz):
         return vae_mod.vae_decode(p, c, zz)
 
     return _streamed(params, cfg, z, net, tile, pad, ds, 1, est_size)
+
+
+# ----------------------------------------------------------------------------
+# single-chip EXACT mode: op-streamed plan + tile-accumulated GN statistics
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("padding",))
+def _op_conv(p, h, padding):
+    from omgsr_tpu.models.layers import conv2d
+
+    return conv2d(p, h, padding=padding)
+
+
+@jax.jit
+def _op_downsample(p, h):
+    # diffusers Downsample2D: asymmetric pad (0,1) then stride-2 VALID conv
+    from omgsr_tpu.models.layers import conv2d
+
+    h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return conv2d(p, h, stride=2, padding="VALID")
+
+
+@jax.jit
+def _op_upsample(p, h):
+    from omgsr_tpu.models.layers import upsample_conv_2x
+
+    return upsample_conv_2x(p, h)
+
+
+@jax.jit
+def _op_add(a, b):
+    return a + b
+
+
+@jax.jit
+def _op_shortcut_add(p, x, h):
+    from omgsr_tpu.models.layers import conv2d
+
+    return conv2d(p, x, padding=0) + h
+
+
+@partial(jax.jit, static_argnames=("groups",))
+def _op_attn(p, h, groups):
+    # full-buffer apply: the attention block's GroupNorm computes its
+    # statistics over the whole tensor here, which IS the global statistic
+    return vae_mod._mid_attention(p, h, groups)
+
+
+@partial(jax.jit, static_argnames=("groups",))
+def _chunk_sum(x, groups):
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    return xg.sum(axis=(1, 3))
+
+
+@partial(jax.jit, static_argnames=("groups",))
+def _chunk_sqdev(x, mean, groups):
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    d = xg - mean[:, None, :, None]
+    return (d * d).sum(axis=(1, 3))
+
+
+def _tiled_gn_stats(h, groups, rows):
+    """Exact global GroupNorm statistics accumulated over row-chunk tiles of
+    the stored buffer (the math of vaehook's GroupNormParam accumulation,
+    infer/vaehook.py:459-508, but with the exact two-pass combination).
+    Chunk sums partition the image, so the totals equal full-image stats."""
+    b, height, width, c = h.shape
+    denom = height * width * (c // groups)
+    rows = max(min(rows, height), 1)
+    chunks = [h[:, i : min(i + rows, height)] for i in range(0, height, rows)]
+    s = None
+    for ch_ in chunks:
+        cs = _chunk_sum(ch_, groups)
+        s = cs if s is None else _op_add(s, cs)
+    mean = s / denom
+    v = None
+    for ch_ in chunks:
+        cv = _chunk_sqdev(ch_, mean, groups)
+        v = cv if v is None else _op_add(v, cv)
+    var = v / denom
+    return mean, var
+
+
+@partial(jax.jit, static_argnames=("groups", "with_silu"))
+def _op_gn_apply(p, h, mean, var, groups, with_silu):
+    from omgsr_tpu.models.layers import silu
+
+    y = _apply_gn(p, h, groups, mean, var)
+    return silu(y) if with_silu else y
+
+
+def _resnet_plan(rp, g):
+    items = [
+        ("push", None, None),
+        ("gn", rp["norm1"], (g, True)),
+        ("conv", rp["conv1"], 1),
+        ("gn", rp["norm2"], (g, True)),
+        ("conv", rp["conv2"], 1),
+    ]
+    if "conv_shortcut" in rp:
+        items.append(("shortcut_add", rp["conv_shortcut"], None))
+    else:
+        items.append(("add", None, None))
+    return items
+
+
+def _mid_plan(mp, g):
+    items = _resnet_plan(mp["resnets"]["0"], g)
+    if "attentions" in mp:
+        items.append(("attn", mp["attentions"]["0"], g))
+    items += _resnet_plan(mp["resnets"]["1"], g)
+    return items
+
+
+def _encoder_plan(params, cfg):
+    p = params["encoder"]
+    g = cfg.norm_num_groups
+    plan = [("conv", p["conv_in"], 1)]
+    for i in range(len(cfg.block_out_channels)):
+        blk = p["down_blocks"][str(i)]
+        for j in range(cfg.layers_per_block):
+            plan += _resnet_plan(blk["resnets"][str(j)], g)
+        if "downsamplers" in blk:
+            plan.append(("downsample", blk["downsamplers"]["0"]["conv"], None))
+    plan += _mid_plan(p["mid_block"], g)
+    plan.append(("gn", p["conv_norm_out"], (g, True)))
+    plan.append(("conv", p["conv_out"], 1))
+    if "quant_conv" in params:
+        plan.append(("conv", params["quant_conv"], 0))
+    return plan
+
+
+def _decoder_plan(params, cfg):
+    p = params["decoder"]
+    g = cfg.norm_num_groups
+    plan = []
+    if "post_quant_conv" in params:
+        plan.append(("conv", params["post_quant_conv"], 0))
+    plan.append(("conv", p["conv_in"], 1))
+    plan += _mid_plan(p["mid_block"], g)
+    for i in range(len(cfg.block_out_channels)):
+        blk = p["up_blocks"][str(i)]
+        for j in range(cfg.layers_per_block + 1):
+            plan += _resnet_plan(blk["resnets"][str(j)], g)
+        if "upsamplers" in blk:
+            plan.append(("upsample", blk["upsamplers"]["0"]["conv"], None))
+    plan.append(("gn", p["conv_norm_out"], (g, True)))
+    plan.append(("conv", p["conv_out"], 1))
+    return plan
+
+
+def _exec_plan(plan, h, stat_rows):
+    stack = []
+    for kind, p, meta in plan:
+        if kind == "push":
+            stack.append(h)
+        elif kind == "add":
+            h = _op_add(stack.pop(), h)
+        elif kind == "shortcut_add":
+            h = _op_shortcut_add(p, stack.pop(), h)
+        elif kind == "conv":
+            h = _op_conv(p, h, meta)
+        elif kind == "downsample":
+            h = _op_downsample(p, h)
+        elif kind == "upsample":
+            h = _op_upsample(p, h)
+        elif kind == "attn":
+            h = _op_attn(p, h, meta)
+        elif kind == "gn":
+            g, with_silu = meta
+            mean, var = _tiled_gn_stats(h, g, stat_rows)
+            h = _op_gn_apply(p, h, mean, var, g, with_silu)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown plan op {kind}")
+    return h
+
+
+def exact_vae_encode(params, cfg, x, rng=None, sample: bool = False, stat_rows: int = 256):
+    """pixels (1,H,W,3) -> scaled latent with EXACT global GroupNorm, single
+    chip. stat_rows: rows per stat-accumulation tile (memory/step granularity
+    of the GroupNorm sweeps)."""
+    moments = _exec_plan(_encoder_plan(params, cfg), x, stat_rows)
+    z = vae_mod.sample_diagonal_gaussian(moments, rng, sample=sample and rng is not None)
+    if cfg.shift_factor is not None:
+        return (z - cfg.shift_factor) * cfg.scaling_factor
+    return z * cfg.scaling_factor
+
+
+def exact_vae_decode(params, cfg, z, stat_rows: int = 64, unscale: bool = True):
+    """scaled latent (1,h,w,C) -> pixels with EXACT global GroupNorm."""
+    if unscale:
+        if cfg.shift_factor is not None:
+            z = z / cfg.scaling_factor + cfg.shift_factor
+        else:
+            z = z / cfg.scaling_factor
+    return _exec_plan(_decoder_plan(params, cfg), z, stat_rows)
 
 
 # ----------------------------------------------------------------------------

@@ -4,13 +4,15 @@ import numpy as np
 import pytest
 
 from omgsr_tpu.inference.tiled_vae import (
+    exact_vae_decode,
+    exact_vae_encode,
     sharded_vae_decode,
     sharded_vae_encode,
     streaming_vae_decode,
     streaming_vae_encode,
 )
 from omgsr_tpu.models import vae as V
-from tests.test_models import TINY_VAE
+from tests.test_models import TINY_FLUX_VAE, TINY_VAE
 
 
 @pytest.fixture(scope="module")
@@ -106,3 +108,47 @@ class TestStreamingVAE:
         z = jax.random.normal(jax.random.key(6), (1, 16, 16, 4)) * 0.2
         streaming_vae_decode(vae_params, TINY_VAE, z, tile=8, pad=4, est_size=16)
         assert vm._GN_HOOK is None
+
+
+class TestExactVAE:
+    """Single-chip exact mode (vaehook's DEFAULT per-tile-stat path,
+    infer/vaehook.py:459-534): GroupNorm statistics are accumulated over row
+    chunks of stored boundary buffers, so the result must equal untiled
+    execution to float tolerance — including mid-block attention, which is
+    applied globally."""
+
+    def test_decode_matches_untiled_with_attention(self, vae_params):
+        z = jax.random.normal(jax.random.key(3), (1, 24, 40, 4)) * 0.2
+        ref = np.asarray(V.vae_decode(vae_params, TINY_VAE, z))
+        # stat_rows=5 on 24..48-row buffers -> many non-divisible chunks:
+        # exercises the partition-sum accumulation, not full-buffer stats
+        out = np.asarray(exact_vae_decode(vae_params, TINY_VAE, z, stat_rows=5))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_encode_matches_untiled_with_attention(self, vae_params):
+        x = jnp.tanh(jax.random.normal(jax.random.key(4), (1, 96, 64, 3)))
+        ref = np.asarray(V.vae_encode(vae_params, TINY_VAE, x, rng=None))
+        out = np.asarray(exact_vae_encode(vae_params, TINY_VAE, x, stat_rows=7))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_flux_style_cfg_encode(self):
+        """shift_factor path + no quant convs (FLUX VAE layout)."""
+        p = V.init_vae(jax.random.key(7), TINY_FLUX_VAE)
+        x = jnp.tanh(jax.random.normal(jax.random.key(8), (1, 64, 48, 3)))
+        ref = np.asarray(V.vae_encode(p, TINY_FLUX_VAE, x, rng=None))
+        out = np.asarray(exact_vae_encode(p, TINY_FLUX_VAE, x, stat_rows=9))
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    def test_streaming_entry_dispatch(self, vae_params):
+        z = jax.random.normal(jax.random.key(9), (1, 16, 24, 4)) * 0.2
+        ref = np.asarray(streaming_vae_decode(vae_params, TINY_VAE, z, stats="exact"))
+        via_exact = np.asarray(exact_vae_decode(vae_params, TINY_VAE, z))
+        np.testing.assert_allclose(ref, via_exact, atol=1e-6, rtol=1e-6)
+        with pytest.raises(ValueError):
+            streaming_vae_decode(vae_params, TINY_VAE, z, stats="bogus")
+        with pytest.raises(ValueError):
+            streaming_vae_encode(
+                vae_params, TINY_VAE, jnp.zeros((1, 32, 32, 3)), stats="bogus"
+            )
