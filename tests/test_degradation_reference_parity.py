@@ -1,0 +1,288 @@
+"""Composed degradation-pipeline parity vs the reference's OWN code.
+
+Runs the actual ``RealESRGAN_degradation.degrade_process``
+(/root/reference/dataset/realesrgan.py:203-314, torch CPU) against
+omgsr_tpu's jitted pipeline:
+
+  A. scripted deterministic runs: branch draws pinned (opt probabilities +
+     scripted np.random/random draws), noise ranges degenerate, identical
+     blur kernels injected — the two composed chains must agree to
+     JPEG-roundtrip tolerance;
+  B. free-running distribution statistics over many draws — catches drift
+     in what the GAN actually trains on (noise scale, JPEG strength,
+     resize spectrum) even where RNG streams cannot be matched.
+
+torchvision is not installed in this image; a minimal faithful shim is
+registered before the reference module is imported (only rgb_to_grayscale
+is ever exercised by the shipped params_realesrgan.yml, which has
+color_jitter_prob = gray_prob = 0).
+"""
+
+import random as _pyrandom
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+REF_ROOT = "/root/reference"
+
+
+def _install_torchvision_shim():
+    if "torchvision" in sys.modules:
+        return
+
+    def rgb_to_grayscale(img, num_output_channels=1):
+        r, g, b = img.unbind(dim=-3)
+        l_img = (0.2989 * r + 0.587 * g + 0.114 * b).to(img.dtype).unsqueeze(-3)
+        if num_output_channels == 3:
+            return l_img.expand(img.shape)
+        return l_img
+
+    def _blend(img1, img2, ratio):
+        return (float(ratio) * img1 + (1.0 - float(ratio)) * img2).clamp(0, 1.0)
+
+    def adjust_brightness(img, f):
+        return _blend(img, torch.zeros_like(img), f)
+
+    def adjust_contrast(img, f):
+        mean = rgb_to_grayscale(img).mean((-3, -2, -1), keepdim=True)
+        return _blend(img, mean, f)
+
+    def adjust_saturation(img, f):
+        return _blend(img, rgb_to_grayscale(img), f)
+
+    def adjust_hue(img, f):
+        # YIQ rotation (equivalent up to gamut clipping; unused by the
+        # shipped config, which has color_jitter_prob=0)
+        m = torch.tensor(
+            [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]],
+            dtype=img.dtype,
+        )
+        yiq = torch.einsum("...chw,dc->...dhw", img, m)
+        a = 2 * np.pi * float(f)
+        rot = torch.tensor(
+            [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]],
+            dtype=img.dtype,
+        )
+        yiq = torch.einsum("...chw,dc->...dhw", yiq, rot)
+        return torch.einsum("...chw,dc->...dhw", yiq, torch.linalg.inv(m)).clamp(0, 1)
+
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    ft = types.ModuleType("torchvision.transforms._functional_tensor")
+    fn = types.ModuleType("torchvision.transforms.functional")
+    ft.rgb_to_grayscale = rgb_to_grayscale
+    fn.rgb_to_grayscale = rgb_to_grayscale
+    fn.adjust_brightness = adjust_brightness
+    fn.adjust_contrast = adjust_contrast
+    fn.adjust_saturation = adjust_saturation
+    fn.adjust_hue = adjust_hue
+    tv.transforms = tr
+    tr._functional_tensor = ft
+    tr.functional = fn
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+    sys.modules["torchvision.transforms._functional_tensor"] = ft
+    sys.modules["torchvision.transforms.functional"] = fn
+
+
+@pytest.fixture(scope="module")
+def ref_degrader():
+    _install_torchvision_shim()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from dataset.realesrgan import RealESRGAN_degradation
+
+    return RealESRGAN_degradation(resolution=512, device="cpu")
+
+
+def _test_image(h=128, w=128, seed=0):
+    """Deterministic natural-ish image: smooth low-frequency field + edges."""
+    rng = np.random.default_rng(seed)
+    low = rng.uniform(0, 1, (h // 16, w // 16, 3)).astype(np.float32)
+    img = np.array(
+        jax.image.resize(jnp.asarray(low), (h, w, 3), "cubic"), np.float32, copy=True
+    )
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[:, :, 0] += 0.25 * ((xx // 16 + yy // 16) % 2)  # checker edges
+    img += rng.normal(0, 0.02, (h, w, 3)).astype(np.float32)  # fine texture
+    return np.clip(img, 0, 1)
+
+
+# ----------------------------------------------------------------------------
+# Part A: scripted deterministic composed-chain parity
+# ----------------------------------------------------------------------------
+
+
+class _Scripted:
+    """np.random.uniform stand-in: scripted values for no-arg (probability)
+    draws, real uniform otherwise."""
+
+    def __init__(self, values, rng):
+        self.values = list(values)
+        self.rng = rng
+
+    def __call__(self, *args, **kwargs):
+        if not args and not kwargs:
+            return self.values.pop(0)
+        return self.rng.uniform(*args, **kwargs)
+
+
+@pytest.mark.parametrize(
+    "mode2,final_mode,resize_then_jpeg",
+    [
+        ("bicubic", "area", True),
+        ("bilinear", "bicubic", False),
+        ("area", "bilinear", True),
+    ],
+)
+def test_scripted_chain_matches_reference(
+    ref_degrader, monkeypatch, mode2, final_mode, resize_then_jpeg
+):
+    from omgsr_tpu.data.degradation import DegradationPlan, degrade
+    from omgsr_tpu.data.kernels import KernelSynthesisConfig, random_kernels
+
+    h = w = 128
+    img = _test_image(h, w, seed=3)
+
+    # shared kernels, drawn BEFORE np.random is scripted
+    opt = dict(ref_degrader.opt)
+    krng = np.random.default_rng(7)
+    k1, k2, sinc = random_kernels(krng, KernelSynthesisConfig.from_opt(opt, 512))
+
+    # pin all probability branches via opt; degenerate noise (sigma == 0)
+    pinned = dict(
+        opt,
+        resize_prob=[0, 0, 1.0],
+        resize_prob2=[0, 0, 1.0],
+        gaussian_noise_prob=1.0,
+        noise_range=[0, 0],
+        gray_noise_prob=0.0,
+        jpeg_range=[90, 90],
+        second_blur_prob=1.0,
+        gaussian_noise_prob2=1.0,
+        noise_range2=[0, 0],
+        gray_noise_prob2=0.0,
+        jpeg_range2=[85, 85],
+        gray_prob=0.0,
+        color_jitter_prob=0.0,
+    )
+    monkeypatch.setattr(ref_degrader, "opt", pinned)
+    monkeypatch.setattr(
+        ref_degrader,
+        "random_augment",
+        lambda im: torch.from_numpy(im.transpose(2, 0, 1)).unsqueeze(0).float(),
+    )
+    monkeypatch.setattr(
+        ref_degrader,
+        "random_kernels",
+        lambda: (
+            torch.from_numpy(k1).float(),
+            torch.from_numpy(k2).float(),
+            torch.from_numpy(sinc).float(),
+        ),
+    )
+    # scripted draws, in degrade_process call order
+    # (dataset/realesrgan.py:214-312): gaussian1, second_blur, gaussian2,
+    # jpeg-vs-resize order, gray, jitter
+    order_draw = 0.25 if resize_then_jpeg else 0.75
+    monkeypatch.setattr(
+        np.random,
+        "uniform",
+        _Scripted([0.0, 0.0, 0.0, order_draw, 0.99, 0.99], np.random.default_rng(11)),
+    )
+    # mode draws: stage1 (scale=1, identity — fixed), stage2, final
+    modes = iter(["bilinear", mode2, final_mode])
+    monkeypatch.setattr(_pyrandom, "choice", lambda seq: next(modes))
+
+    _, lq_ref = ref_degrader.degrade_process(img, resize_bak=False)
+    lq_ref = lq_ref.numpy()[0].transpose(1, 2, 0)
+
+    plan = DegradationPlan(
+        size1=(h, w),
+        mode1="bilinear",
+        gaussian1=True,
+        second_blur=True,
+        size2=(h // 4, w // 4),
+        mode2=mode2,
+        gaussian2=True,
+        resize_then_jpeg=resize_then_jpeg,
+        final_mode=final_mode,
+        gray=False,
+        jitter=False,
+        jitter_order=(0, 1, 2, 3),
+        resize_bak=False,
+        bak_mode="area",
+    )
+    kern = tuple(jnp.asarray(k)[None] for k in (k1, k2, sinc))
+    lq_jax = np.asarray(
+        degrade(jnp.asarray(img)[None], kern, jax.random.key(0), plan, pinned)
+    )[0]
+
+    assert lq_jax.shape == lq_ref.shape
+    # both chains end in a uint8 round-trip; residual disagreement comes from
+    # the two DiffJPEG implementations and resize boundary handling
+    diff = np.abs(lq_jax - lq_ref)
+    assert diff.mean() < 1.5 / 255, f"mean|d|={diff.mean() * 255:.3f}/255"
+    assert np.quantile(diff, 0.99) < 6 / 255, (
+        f"q99|d|={np.quantile(diff, 0.99) * 255:.3f}/255"
+    )
+
+
+# ----------------------------------------------------------------------------
+# Part B: free-running distribution statistics
+# ----------------------------------------------------------------------------
+
+
+def _stats(x):
+    gx = np.abs(np.diff(x, axis=0)).mean()
+    gy = np.abs(np.diff(x, axis=1)).mean()
+    return np.array([x.mean(), x.std(), gx + gy])
+
+
+def test_free_running_distributions_match(ref_degrader):
+    """~N draws of each pipeline on the same input: first/second moments and
+    high-frequency energy of the LQ output must agree. Guards the training
+    -data distribution (what the GAN learns) against silent drift."""
+    from omgsr_tpu.data.degradation import RealESRGANDegrader
+
+    n = 24
+    h = w = 128
+    img = _test_image(h, w, seed=5)
+
+    _pyrandom.seed(123)
+    np.random.seed(123)
+    torch.manual_seed(123)
+    ref_stats = []
+    for _ in range(n):
+        _, lq = ref_degrader.degrade_process(img, resize_bak=False)
+        ref_stats.append(_stats(lq.numpy()[0].transpose(1, 2, 0)))
+    ref_stats = np.stack(ref_stats)
+
+    # size_snap=16 buckets intermediate sizes to bound distinct compiled
+    # graphs (the production loader setting); stats are insensitive to it
+    # size_snap/seed choices match the production loader; disable_jit: every
+    # draw is a distinct plan => distinct graph, and 24 XLA compiles of the
+    # diffjpeg-bearing pipeline would dominate the suite — the statistics are
+    # identical eagerly
+    mine = RealESRGANDegrader(ref_degrader.opt, resolution=512, size_snap=16, seed=42)
+    jimg = jnp.asarray(img)[None]
+    jax_stats = []
+    with jax.disable_jit():
+        for _ in range(n):
+            _, lq = mine(jimg, resize_bak=False)
+            jax_stats.append(_stats(np.asarray(lq)[0]))
+    jax_stats = np.stack(jax_stats)
+
+    rm, jm = ref_stats.mean(0), jax_stats.mean(0)
+    # mean pixel level: absolute agreement
+    assert abs(rm[0] - jm[0]) < 0.03, f"mean: ref {rm[0]:.4f} vs jax {jm[0]:.4f}"
+    # contrast and high-frequency energy: relative agreement
+    assert abs(rm[1] - jm[1]) / rm[1] < 0.20, f"std: ref {rm[1]:.4f} vs jax {jm[1]:.4f}"
+    assert abs(rm[2] - jm[2]) / rm[2] < 0.30, f"grad: ref {rm[2]:.4f} vs jax {jm[2]:.4f}"
+    # output geometry
+    assert np.asarray(mine(jimg, resize_bak=False)[1]).shape == (1, h // 4, w // 4, 3)
