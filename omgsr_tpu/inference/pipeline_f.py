@@ -95,13 +95,28 @@ class OMGSRFPipeline:
         img = vae.vae_decode(vae_params, self.vae_cfg, z0)
         return jnp.clip(img, -1.0, 1.0)
 
-    def shard_for_mesh(self, mesh, min_size: int = 2**18):
-        """Shard the 12B DiT parameters over the mesh's "fsdp" axis (ZeRO-3
-        style) so -F inference fits small slices; XLA inserts the gathers.
-        The VAE (84M) stays replicated."""
-        from omgsr_tpu.parallel import device_put_params, replicated, shard_params_fsdp
+    def shard_for_mesh(self, mesh, min_size: int = 2**18, strategy: str = "fsdp"):
+        """Shard the 12B DiT parameters over the mesh so -F inference fits
+        small slices. strategy="fsdp": ZeRO-3 weight sharding (XLA inserts
+        the gathers). strategy="tp": Megatron-style tensor parallelism over
+        the mesh's "tp" axis — attention heads and ffn hidden stay resident
+        per-shard, so the per-block collective is one reduce per row-parallel
+        projection instead of gathering every weight (the right trade when
+        the DiT matmuls dominate, SURVEY §2c). The VAE (84M) stays
+        replicated."""
+        from omgsr_tpu.parallel import (
+            device_put_params,
+            replicated,
+            shard_params_flux_tp,
+            shard_params_fsdp,
+        )
 
-        shardings = shard_params_fsdp(self.flux_params, mesh, min_size)
+        if strategy == "tp":
+            shardings = shard_params_flux_tp(self.flux_params, mesh, min_size)
+        elif strategy == "fsdp":
+            shardings = shard_params_fsdp(self.flux_params, mesh, min_size)
+        else:
+            raise ValueError(f"strategy must be 'fsdp' or 'tp', got {strategy!r}")
         self.flux_params = device_put_params(self.flux_params, shardings)
         rep = replicated(mesh)
         self.vae_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.vae_params)

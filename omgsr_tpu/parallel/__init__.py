@@ -3,5 +3,6 @@ from omgsr_tpu.parallel.sharding import (
     batch_sharding,
     replicated,
     shard_params_fsdp,
+    shard_params_flux_tp,
     device_put_params,
 )

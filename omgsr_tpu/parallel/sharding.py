@@ -75,3 +75,74 @@ def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2**18):
 
 def device_put_params(params, shardings):
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+# ----------------------------------------------------------------------------
+# tensor parallelism for the FLUX DiT (SURVEY §2c optional TP — needed because
+# FLUX-12B bf16 exceeds one v5e's HBM and fsdp gathers serialize the matmuls)
+# ----------------------------------------------------------------------------
+
+# Megatron-style split of every transformer block, expressed purely as
+# parameter shardings — XLA's SPMD partitioner propagates them through the
+# reshape to heads, keeps attention per-head local to its "tp" shard, and
+# inserts one reduce-scatter/all-reduce at each row-parallel projection.
+#   column-parallel (shard the OUT dim = heads / ffn-hidden):
+_TP_COL = frozenset(
+    {"to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj", "proj_mlp"}
+)
+#   row-parallel (shard the IN dim; output re-assembled by a collective):
+_TP_ROW = frozenset({"to_out", "to_add_out"})
+
+
+def _flux_tp_spec(keys: tuple, shape: tuple):
+    """PartitionSpec for one FLUX block leaf under TP, or None if the leaf
+    is not TP-split. ``keys`` is the dict-key path, ``shape`` the leaf shape
+    (a leading block axis from stack_block_params is never sharded)."""
+    in_blocks = "transformer_blocks" in keys or "single_transformer_blocks" in keys
+    if not in_blocks:
+        return None
+    ks = set(keys)
+    col = bool(ks & _TP_COL) or (("ff" in ks or "ff_context" in ks) and "0" in ks)
+    row = bool(ks & _TP_ROW) or (
+        (("ff" in ks or "ff_context" in ks) and "2" in ks)
+        or ("single_transformer_blocks" in ks and "proj_out" in ks)
+    )
+    if not (col or row):
+        return None  # norms, modulation dense, rms scales: replicated
+    leaf = keys[-1]
+    nd = len(shape)
+    if col:
+        # kernel (.., in, out) / bias (.., out): shard the out (last) dim
+        spec = [None] * nd
+        spec[-1] = "tp"
+        return P(*spec)
+    if leaf == "bias":
+        return P()  # row-parallel bias is added once, post-collective
+    spec = [None] * nd
+    spec[-2] = "tp"  # kernel (.., in, out): shard the in dim
+    return P(*spec)
+
+
+def shard_params_flux_tp(params, mesh: Mesh, min_size: int = 2**18):
+    """NamedSharding tree for a FLUX param tree: Megatron TP over the mesh's
+    "tp" axis for the transformer blocks (attention heads + ffn hidden),
+    fsdp/replication for everything else. Requires num_attention_heads and
+    ffn hidden to be divisible by mesh.shape["tp"]. Works for both unrolled
+    and stacked (lax.scan) block layouts."""
+    if "tp" not in mesh.axis_names:
+        raise ValueError('mesh has no "tp" axis')
+    has_fsdp = "fsdp" in mesh.axis_names
+    fsdp_size = mesh.shape.get("fsdp", 1)
+
+    def spec_for(path, leaf):
+        keys = tuple(
+            p.key for p in path if isinstance(p, jax.tree_util.DictKey)
+        )
+        spec = _flux_tp_spec(keys, leaf.shape)
+        if spec is None:
+            spec = (
+                _fsdp_spec(leaf.shape, fsdp_size, min_size) if has_fsdp else P()
+            )
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -37,3 +37,37 @@ def test_fsdp_sharded_pipeline_matches_replicated():
                      pipe_sh.flux_params)
     )
     assert any(s is not None and "fsdp" in str(s) for s in shardings)
+
+
+def test_tp_sharded_pipeline_matches_replicated():
+    """Megatron TP over attention heads + ffn hidden (shard_params_flux_tp):
+    sharded == replicated, and qkv/ff kernels actually carry the "tp" axis."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe_ref = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe_ref(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    # tp=2 splits the 4 heads 2-per-shard and the ffn hidden 64-per-shard
+    mesh = create_mesh({"data": 2, "tp": 2, "fsdp": 2})
+    pipe_tp = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    pipe_tp.shard_for_mesh(mesh, min_size=64, strategy="tp")
+    out = np.asarray(pipe_tp(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    import jax.tree_util as jtu
+
+    leaves = jtu.tree_leaves_with_path(pipe_tp.flux_params)
+    specs = {jtu.keystr(p): str(getattr(x.sharding, "spec", "")) for p, x in leaves}
+    qkv = [s for k, s in specs.items() if "to_q" in k and "kernel" in k]
+    outp = [s for k, s in specs.items() if "to_out" in k and "kernel" in k]
+    assert qkv and all("tp" in s for s in qkv), qkv
+    assert outp and all("tp" in s for s in outp), outp
