@@ -1,66 +1,210 @@
-"""Benchmark: OMGSR-S-512 one-step SR latency on the current backend.
+"""Benchmark: north-star 256->1024 x4 SR latency plus secondary metrics.
 
-Prints ONE JSON line:
-  {"metric": "omgsr_s_512_one_step_s_per_image", "value": <p50 seconds>,
-   "unit": "s/image", "vs_baseline": <value / 1.0s north-star>}
+Prints ONE JSON line (re-printed cumulatively after each completed section so
+a timeout cannot erase earlier results; the last line is the most complete):
 
-The measured graph is the full production inference step at 512 px — VAE
-encode, SD2.1 UNet (865M, bf16) at mid-timestep 273, x0 recovery, VAE
-decode, clamp — compiled as ONE XLA program (random weights; latency is
-weight-independent). Every iteration uses a fresh, run-unique input and is
-individually fenced with block_until_ready, so request/result caches in the
-execution path (e.g. the axon terminal's) cannot short-circuit the
-measurement. The north-star reference point is the driver's <1 s/image
-target (BASELINE.md); lower is better, vs_baseline < 1 beats it.
+  {"metric": "omgsr_s_256to1024_x4_s_per_image", "value": <p50 s>,
+   "unit": "s/image", "vs_baseline": <value / 1.0 s north-star>,
+   "extras": {...secondary metrics...}}
+
+Primary metric — the driver's north star (BASELINE.json: "OMGSR-F 256->1024
+in <1 s/image"): the full 256->1024 x4 production protocol on the real chip —
+jitted bicubic x4 pre-upscale (infer/infer_omgsr_s.sh protocol), VAE encode at
+1024 px, tiled SD2.1 UNet (865M, bf16) over 9 latent-64 tiles with overlap-32
+gaussian stitching at tile_batch 4, x0 recovery, full-image VAE decode, clamp.
+
+Extras:
+  omgsr_s_512_one_step_s_per_image  — the single-tile 512 px one-step graph.
+  omgsr_f_1024_proxy3b_s_per_image  — OMGSR-F protocol at 1024 px with a
+      3B-scale FLUX DiT (5 dual + 9 single blocks, full 3072 width/24 heads;
+      FLUX-12B bf16 exceeds one v5e's 16 GB HBM — multi-chip path is
+      shard_for_mesh, validated on the virtual mesh).
+  train_s_512_s_per_step — full-scale OMGSR-S LoRA-GAN train micro-step
+      (SD2.1 UNet + VAE + ConvNeXt-L DISTS + discriminator, 512 px, bs 1,
+      grad accumulation 4, gradient checkpointing).
+
+Measurement rules (CLAUDE.md timing gotcha): random weights (latency is
+weight-independent), fresh urandom-seeded inputs every iteration, and a
+scalar-reduction fetch after each call — bare block_until_ready can be
+satisfied without executing on the tunneled backend.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+NORTH_STAR_S = 1.0  # s/image, BASELINE.json
+SECTION_DEADLINE_S = float(os.environ.get("OMGSR_BENCH_DEADLINE_S", "2400"))
+
+_t_start = time.time()
+
+
+def _emit(primary_metric, extras):
+    line = {
+        "metric": primary_metric,
+        "value": extras[primary_metric],
+        "unit": "s/image",
+        "vs_baseline": round(extras[primary_metric] / NORTH_STAR_S, 5),
+        "extras": {k: v for k, v in extras.items() if k != primary_metric},
+    }
+    print(json.dumps(line), flush=True)
+
+
+def _timed(fn, fresh_input, fence, iters=5):
+    """Median wall-clock of fn(fresh_input()) with scalar-fetch fencing."""
+    import jax
+
+    out = fn(fresh_input())  # compile + warmup
+    fence(out)
+    times = []
+    for _ in range(iters):
+        x = jax.block_until_ready(fresh_input())
+        t0 = time.perf_counter()
+        fence(fn(x))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _section(name, extras, primary, thunk):
+    """Run one secondary measurement; a failure (e.g. transient remote
+    -compile transport error) must not erase earlier sections' results."""
+    if time.time() - _t_start >= SECTION_DEADLINE_S:
+        return
+    try:
+        extras[name] = round(thunk(), 5)
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"bench section {name} failed: {type(e).__name__}: {e}\n")
+        return
+    _emit(primary, extras)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import entry
+    fence = lambda out: float(jnp.mean(out))  # noqa: E731
+    rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
 
-    fn, args = entry()
-    vae_params, unet_params, _, prompt = args
-    jfn = jax.jit(fn)
+    def fresh(shape):
+        return jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32), jnp.bfloat16)
 
-    seed = int.from_bytes(os.urandom(4), "little")
-    rng = np.random.default_rng(seed)
+    primary = "omgsr_s_256to1024_x4_s_per_image"
+    extras = {}
+    dtype = jnp.bfloat16
 
-    def fresh_input():
-        return jnp.asarray(
-            rng.uniform(-1, 1, (1, 512, 512, 3)).astype(np.float32), jnp.bfloat16
+    # ---- section 1: north star — -S 256->1024 x4 tiled protocol ------------
+    from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
+    from omgsr_tpu.models import unet_sd, vae
+    from omgsr_tpu.models.configs import SD21_UNET, SD21_VAE
+    from omgsr_tpu.ops.resize import resize
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    vae_params = vae.init_vae(k1, SD21_VAE, dtype=dtype)
+    unet_params = unet_sd.init_unet(k2, SD21_UNET, dtype=dtype)
+    prompt_sd = jnp.asarray(rng.normal(size=(1, 77, 1024)), dtype)
+
+    pipe = OMGSRSPipeline(vae_params, unet_params, tile_batch=4)
+    upscale = jax.jit(lambda x: resize(x, 1024, 1024, "bicubic"))
+
+    def sr_256_to_1024(lq256):
+        return pipe(upscale(lq256), prompt_sd, tile_size=64, tile_overlap=32)
+
+    extras[primary] = round(_timed(sr_256_to_1024, lambda: fresh((1, 256, 256, 3)), fence), 5)
+    _emit(primary, extras)
+
+    # ---- section 2: -S 512 one-step (previous round's metric) --------------
+    def run_512_one_step():
+        from omgsr_tpu.diffusion.schedules import mid_timestep_coeffs_sd
+
+        sqrt_a, sqrt_1ma = mid_timestep_coeffs_sd(273)
+
+        # params must be jit ARGUMENTS: captured-constant weights (1.9 GB)
+        # crash the remote-compile transport (CLAUDE.md timing gotchas)
+        @jax.jit
+        def one_step_512(vp, up, lq):
+            z = vae.vae_encode(vp, SD21_VAE, lq)
+            eps = unet_sd.unet_apply(up, SD21_UNET, z, 273, prompt_sd)
+            z0 = (z - sqrt_1ma * eps) / sqrt_a
+            return jnp.clip(vae.vae_decode(vp, SD21_VAE, z0), -1.0, 1.0)
+
+        return _timed(
+            lambda lq: one_step_512(vae_params, unet_params, lq),
+            lambda: fresh((1, 512, 512, 3)),
+            fence,
         )
 
-    # compile + warmup (scalar fetch forces end-to-end completion)
-    out = jfn(vae_params, unet_params, fresh_input(), prompt)
-    float(jnp.mean(out))
+    _section("omgsr_s_512_one_step_s_per_image", extras, primary, run_512_one_step)
 
-    times = []
-    for _ in range(5):
-        lq = jax.block_until_ready(fresh_input())
-        t0 = time.perf_counter()
-        out = jfn(vae_params, unet_params, lq, prompt)
-        # a scalar reduction fetch cannot be served without running the
-        # computation, unlike bare block_until_ready on some remote backends
-        float(jnp.mean(out))
-        times.append(time.perf_counter() - t0)
+    # ---- section 3: -F 1024 protocol at 3B proxy scale ----------------------
+    def run_f_1024_proxy():
+        from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+        from omgsr_tpu.models import flux as flux_mod
+        from omgsr_tpu.models.configs import FLUX_VAE, FluxConfig
 
-    p50 = float(np.median(times))
-    result = {
-        "metric": "omgsr_s_512_one_step_s_per_image",
-        "value": round(p50, 5),
-        "unit": "s/image",
-        "vs_baseline": round(p50 / 1.0, 5),
-    }
-    print(json.dumps(result))
+        proxy_cfg = FluxConfig(num_layers=5, num_single_layers=9)
+        k3, k4 = jax.random.split(jax.random.key(1))
+        fvae_params = vae.init_vae(k3, FLUX_VAE, dtype=dtype)
+        flux_params = flux_mod.init_flux(k4, proxy_cfg, dtype=dtype)
+        prompt_f = jnp.asarray(rng.normal(size=(1, 512, 4096)), dtype)
+        pooled_f = jnp.asarray(rng.normal(size=(1, 768)), dtype)
+
+        pipe_f = OMGSRFPipeline(fvae_params, flux_params, flux_cfg=proxy_cfg, tile_batch=3)
+
+        def sr_f_1024(lq1024):
+            return pipe_f(lq1024, prompt_f, pooled_f, tile_size=64, tile_overlap=32)
+
+        return _timed(sr_f_1024, lambda: fresh((1, 1024, 1024, 3)), fence)
+
+    _section("omgsr_f_1024_proxy3b_s_per_image", extras, primary, run_f_1024_proxy)
+
+    # ---- section 4: full-scale -S LoRA-GAN train micro-step -----------------
+    def run_train_step():
+        from omgsr_tpu.config import TrainConfig
+        from omgsr_tpu.lora import SD_TARGET_MODULES, init_lora_tree
+        from omgsr_tpu.losses.discriminator import init_discriminator
+        from omgsr_tpu.losses.dists import init_dists
+        from omgsr_tpu.models import convnext as CN
+        from omgsr_tpu.models.configs import CONVNEXT_SIZES
+        from omgsr_tpu.training.trainer import TrainerS
+
+        cfg = TrainConfig(gradient_checkpointing=True)  # reference recipe defaults
+        cn_cfg = CONVNEXT_SIZES["large"]
+        kk = jax.random.split(jax.random.key(2), 4)
+        backbone = CN.init_convnext(kk[0], cn_cfg, dtype=dtype)
+        frozen = {
+            "vae": vae_params,
+            "vae_cfg": SD21_VAE,
+            "unet": unet_params,
+            "unet_cfg": SD21_UNET,
+            "backbone": backbone,
+            "dists": init_dists(backbone, cn_cfg.dims),
+            "prompt_embeds": prompt_sd,
+        }
+        gen_lora = {
+            "vae_encoder": init_lora_tree(
+                kk[1], vae_params["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
+            ),
+            "denoiser": init_lora_tree(kk[2], unet_params, SD_TARGET_MODULES, cfg.unet_lora_rank),
+        }
+        disc = init_discriminator(kk[3], cn_cfg.dims[:3], cfg.resolution)
+        trainer = TrainerS(cfg, frozen, gen_lora, disc)
+
+        def train_micro(batch):
+            metrics, _ = trainer.train_step(batch, jax.random.key(3))
+            return metrics["loss_total_G"]
+
+        return _timed(
+            train_micro,
+            lambda: {"lq": fresh((1, 512, 512, 3)), "hq": fresh((1, 512, 512, 3))},
+            lambda loss: float(loss),
+            iters=3,
+        )
+
+    if os.environ.get("OMGSR_BENCH_TRAIN", "1") == "1":
+        _section("train_s_512_s_per_step", extras, primary, run_train_step)
 
 
 if __name__ == "__main__":
