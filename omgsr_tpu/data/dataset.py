@@ -134,6 +134,23 @@ class PairedLoader:
                 return
             yield np.stack([self.ds[int(j)] for j in idxs])
 
+    def _dispatch(self, hq: np.ndarray) -> dict:
+        """Host batch [0,1] -> device (lq, hq) batch in [-1,1], dispatched
+        asynchronously: nothing here blocks on device results, so the
+        degradation of batch N+1 is enqueued while the consumer's train step
+        for batch N is still executing (JAX async dispatch) and the arrays
+        never round-trip through the host."""
+        if self.degrader is not None:
+            gt, lq = self.degrader(hq)
+        else:
+            gt = lq = hq
+        import jax.numpy as jnp
+
+        return {
+            "lq": jnp.asarray(lq) * 2.0 - 1.0,
+            "hq": jnp.asarray(gt) * 2.0 - 1.0,
+        }
+
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
@@ -145,14 +162,16 @@ class PairedLoader:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        # one-deep device pipeline: dispatch the next batch's degradation
+        # before yielding the previous one
+        pending = None
         while True:
             hq = q.get()
             if hq is stop:
+                if pending is not None:
+                    yield pending
                 return
-            if self.degrader is not None:
-                gt, lq = self.degrader(hq)
-                lq = np.asarray(lq)
-                gt = np.asarray(gt)
-            else:
-                gt, lq = hq, hq
-            yield {"lq": lq * 2.0 - 1.0, "hq": gt * 2.0 - 1.0}
+            batch = self._dispatch(hq)
+            if pending is not None:
+                yield pending
+            pending = batch

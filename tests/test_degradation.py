@@ -232,3 +232,43 @@ class TestPipeline:
         p1 = draw_plan(r1, {**opt, "scale": 4}, 128, 128, 4, True, 16)
         p2 = draw_plan(r2, {**opt, "scale": 4}, 128, 128, 4, True, 16)
         assert p1 == p2
+
+
+class TestPairedLoader:
+    def _make_ds(self, tmp_path, n=5, res=64):
+        from PIL import Image
+
+        from omgsr_tpu.data.dataset import PairedDataset
+
+        rng = np.random.default_rng(9)
+        for i in range(n):
+            arr = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"im{i}.png")
+        return PairedDataset([str(tmp_path)], resolution=res)
+
+    def test_pipelined_iteration_yields_all_batches(self, tmp_path):
+        """The one-deep device pipeline must yield every batch exactly once
+        (incl. the final pending one) as device arrays in [-1,1]."""
+        from omgsr_tpu.data.dataset import PairedLoader
+
+        ds = self._make_ds(tmp_path, n=5)
+        deg = RealESRGANDegrader(_opt(), resolution=512, size_snap=16, seed=2)
+        loader = PairedLoader(ds, batch_size=2, degrader=deg, seed=0)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 2  # drop_last on 5 items
+        for b in batches:
+            assert b["hq"].shape == (2, 64, 64, 3)
+            assert b["lq"].shape == (2, 64, 64, 3)
+            assert isinstance(b["lq"], jnp.ndarray)  # stays on device
+            lq = np.asarray(b["lq"])
+            assert np.isfinite(lq).all() and lq.min() >= -1.001 and lq.max() <= 1.001
+
+    def test_identity_loader_without_degrader(self, tmp_path):
+        from omgsr_tpu.data.dataset import PairedLoader
+
+        ds = self._make_ds(tmp_path, n=2)
+        loader = PairedLoader(ds, batch_size=2, degrader=None, shuffle=False)
+        (batch,) = list(loader)
+        np.testing.assert_allclose(
+            np.asarray(batch["lq"]), np.asarray(batch["hq"])
+        )
