@@ -76,6 +76,9 @@ def build_pipeline(args, dtype):
 def main(args=None):
     if args is None:
         args = parse_args()
+    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     dtype = resolve_dtype(args.weight_dtype)
     if args.prompt_npz:
         prompt_embeds = load_prompt_npz(args.prompt_npz)["prompt_embeds"].astype(dtype)
@@ -97,6 +100,7 @@ def main(args=None):
     run_batch(
         image_names, infer_fn, args.output_dir, args.process_size, args.upscale,
         args.align_method, dtype, size_bucket=args.size_bucket,
+        batch_size=args.batch_size,
     )
 
 
@@ -114,6 +118,8 @@ def parse_args(argv=None):
     parser.add_argument("--prompt", type=str, default="")
     parser.add_argument("--prompt_npz", type=str, default=None, help="precomputed prompt embeddings (.npz)")
     parser.add_argument("--mid_timestep", type=int, default=273)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="same-bucket serving batch size (images per device call)")
     parser.add_argument("--size_bucket", type=int, default=64,
                         help="pad inputs to multiples of this many px (one compiled graph per bucket); 0 disables")
     return parser.parse_args(argv)

@@ -67,6 +67,9 @@ def save_plot(avg_gap, t_best, out_path):
 
 def main(argv=None):
     args = parse_args(argv)
+    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from omgsr_tpu.convert import port_diffusers_vae
     from omgsr_tpu.convert.hf_config import vae_config_from_json
     from omgsr_tpu.data.degradation import RealESRGANDegrader

@@ -203,6 +203,9 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default="omgsr_tpu/configs/omgsr_f_1024.yml")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
+    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = load_config(args.config, args.overrides)
     run_training(cfg)
 
