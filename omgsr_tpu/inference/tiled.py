@@ -25,34 +25,38 @@ def tiled_denoise(
     tile_overlap: int,
     tile_batch: int = 1,
 ):
-    """latent (1, H, W, C); denoise_tile: (N, t, t, C) -> (N, t, t, C).
+    """latent (B, H, W, C); denoise_tile: (N, t, t, C) -> (N, t, t, C).
 
-    Returns the stitched prediction, same shape as latent. Requires batch 1
-    (the reference also processes one image at a time).
+    Returns the stitched prediction, same shape as latent. B > 1 is handled
+    by extending the tile list across the image batch (the batch index is a
+    third tile coordinate), so one lax.scan covers every (image, tile) pair
+    and the denoiser always sees full tile_batch-sized batches — unlike the
+    reference, which processes one image and effectively one tile per call.
     """
     b, h, w, c = latent.shape
-    assert b == 1, "tiled path expects batch 1"
     t = min(tile_size, h, w)
     if h * w <= tile_size * tile_size:
         return denoise_tile(latent)
 
     grid = tile_grid_2d(h, w, t, tile_overlap)
-    n = len(grid)
+    n = b * len(grid)
+    # (bi, oy, ox) triples over the whole image batch
+    triples = [(bi, oy, ox) for bi in range(b) for (oy, ox) in grid]
     pad = (-n) % tile_batch
     # duplicate the last tile to fill the final batch; its weight is counted
     # once because scatter offsets of duplicates coincide -> idempotent? No:
     # scatter-add would double-count. Instead mask duplicates to zero weight.
-    offsets = np.asarray(grid + [grid[-1]] * pad, np.int32)  # (n+pad, 2)
+    offsets = np.asarray(triples + [triples[-1]] * pad, np.int32)  # (n+pad, 3)
     valid = np.asarray([1.0] * n + [0.0] * pad, np.float32)
     n_total = n + pad
 
     weights = jnp.asarray(gaussian_tile_weights(t, t), latent.dtype)[None, :, :, None]
 
-    offs = jnp.asarray(offsets).reshape(n_total // tile_batch, tile_batch, 2)
+    offs = jnp.asarray(offsets).reshape(n_total // tile_batch, tile_batch, 3)
     valid = jnp.asarray(valid).reshape(n_total // tile_batch, tile_batch)
 
     def gather(off):
-        return jax.lax.dynamic_slice(latent, (0, off[0], off[1], 0), (1, t, t, c))[0]
+        return jax.lax.dynamic_slice(latent, (off[0], off[1], off[2], 0), (1, t, t, c))[0]
 
     def step(carry, inp):
         acc, contrib = carry
@@ -65,10 +69,11 @@ def tiled_denoise(
             pred, off, vld = tile_inp
             wpred = (pred * weights[0] * vld)[None]
             wcon = (weights[0] * vld)[None]
-            cur = jax.lax.dynamic_slice(acc, (0, off[0], off[1], 0), (1, t, t, c))
-            acc = jax.lax.dynamic_update_slice(acc, cur + wpred, (0, off[0], off[1], 0))
-            curc = jax.lax.dynamic_slice(contrib, (0, off[0], off[1], 0), (1, t, t, c))
-            contrib = jax.lax.dynamic_update_slice(contrib, curc + wcon, (0, off[0], off[1], 0))
+            start = (off[0], off[1], off[2], 0)
+            cur = jax.lax.dynamic_slice(acc, start, (1, t, t, c))
+            acc = jax.lax.dynamic_update_slice(acc, cur + wpred, start)
+            curc = jax.lax.dynamic_slice(contrib, start, (1, t, t, c))
+            contrib = jax.lax.dynamic_update_slice(contrib, curc + wcon, start)
             return (acc, contrib), None
 
         (acc, contrib), _ = jax.lax.scan(

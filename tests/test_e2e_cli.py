@@ -67,16 +67,22 @@ def input_images(tmp_path_factory):
 def test_infer_omgsr_s_cli(sd_checkpoint, input_images, tmp_path):
     from omgsr_tpu.cli.infer_omgsr_s import main, parse_args
 
+    # a second same-shaped input so --batch_size 2 exercises same-bucket
+    # batching (one device call for both images)
+    img2 = np.asarray(Image.open(input_images / "small.png"))[::-1].copy()
+    Image.fromarray(img2).save(input_images / "small2.png")
+
     out_dir = tmp_path / "out"
     args = parse_args(
         [
-            "--input_image", str(input_images / "small.png"),
+            "--input_image", str(input_images),
             "--output_dir", str(out_dir),
             "--sd_path", str(sd_checkpoint),
             "--lora_path", str(sd_checkpoint / "lora"),
             "--prompt_npz", str(input_images / "prompt.npz"),
             "--process_size", "64", "--upscale", "4",
             "--align_method", "wavelet", "--weight_dtype", "fp32",
+            "--batch_size", "2",
         ]
     )
     main(args)
@@ -85,6 +91,12 @@ def test_infer_omgsr_s_cli(sd_checkpoint, input_images, tmp_path):
     # 16x24 -> 64x96 -> snap (64, 96); final resize-back not triggered
     assert out.size == (64, 96)
     assert np.asarray(out).std() > 0  # non-degenerate image
+    out2 = Image.open(out_dir / "small2.png")
+    assert out2.size == (64, 96)
+    # distinct inputs through one batched call give distinct outputs
+    assert np.abs(
+        np.asarray(out).astype(int) - np.asarray(out2).astype(int)
+    ).mean() > 1
 
 
 def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):

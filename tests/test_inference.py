@@ -60,6 +60,19 @@ class TestTiledDenoise:
         )
         np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-4, atol=1e-5)
 
+    def test_image_batch_matches_per_image(self):
+        """B>1: the cross-image tile list must give the same result as
+        running each image alone (same-bucket serving batches)."""
+        x = jax.random.normal(jax.random.key(2), (3, 24, 40, 4))
+        f = lambda t: jnp.tanh(t) + 0.25 * t
+        batched = tiled_denoise(x, f, 16, 8, tile_batch=4)
+        singles = jnp.concatenate(
+            [tiled_denoise(x[i : i + 1], f, 16, 8, tile_batch=4) for i in range(3)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched), np.asarray(singles), rtol=1e-4, atol=1e-5
+        )
+
 
 class TestPipelines:
     def test_omgsr_s_pipeline(self):
