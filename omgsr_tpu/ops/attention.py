@@ -21,10 +21,17 @@ def _use_pallas(q_seq: int, head_dim: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     # measured on v5e: wins for 64/128 head dims at long seq (UNet stage-1,
-    # FLUX joint attention); the 512-dim VAE mid-block is better on XLA
-    if head_dim not in (64, 128, 256):
-        return False
-    return q_seq >= _FLASH_MIN_SEQ
+    # FLUX joint attention). The 512-dim single-head VAE mid block ties XLA
+    # up to 16k tokens (both are VPU-bound on the S^2 softmax exp), so XLA
+    # keeps it until the sequence where XLA's materialized S^2 score matrix
+    # becomes the binding constraint (>= 32k tokens = 2048 px+, where P in
+    # bf16 is >= 2 GB and at 4K would be 137 GB) — the kv-blocked Pallas
+    # kernel streams it and stays memory-flat.
+    if head_dim in (64, 128, 256):
+        return q_seq >= _FLASH_MIN_SEQ
+    if head_dim == 512:
+        return q_seq >= 32768
+    return False
 
 
 def dot_product_attention(

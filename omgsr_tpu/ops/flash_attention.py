@@ -37,38 +37,47 @@ _NEG_INF = -1e30
 # ----------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, block_k):
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, kv_len, block_k, n_kv
+):
+    """Online-softmax step for ONE kv block; the kv dimension is the
+    innermost grid axis (sequential on TPU), with the running (acc, m, l)
+    held in VMEM scratch across steps. KV therefore never needs to fit in
+    VMEM whole — this is what admits the 512-dim VAE mid head at 16k+
+    tokens (1024-4096 px decode), where resident KV alone would be 32 MB+."""
     bq, d = q_ref.shape
-    skv = k_ref.shape[0]
-    n_blocks = skv // block_k
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros((bq, d), jnp.float32)
+        m_ref[:] = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l_ref[:] = jnp.zeros((bq, 1), jnp.float32)
 
     q = q_ref[:].astype(jnp.float32) * scale
+    k_blk = k_ref[:].astype(jnp.float32)
+    v_blk = v_ref[:].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
 
-    def body(i, carry):
-        acc, m, l = carry
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = m_ref[:]
+    m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
-
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc, m, l))
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
-    lse_ref[:] = (m + jnp.log(l)).astype(jnp.float32)
+    @pl.when(i == n_kv - 1)
+    def _finish():
+        l = l_ref[:]
+        o_ref[:] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lse_ref[:] = (m_ref[:] + jnp.log(l)).astype(jnp.float32)
 
 
 # ----------------------------------------------------------------------------
@@ -188,23 +197,31 @@ def _forward(q, k, v, scale):
     vh = _pad_to(_to_heads(v), block_k, 1)
     sq_p, skv_p = qh.shape[1], kh.shape[1]
 
-    grid = (b * h, sq_p // block_q)
+    n_kv = skv_p // block_k
+    grid = (b * h, sq_p // block_q, n_kv)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=skv, block_k=block_k),
+        functools.partial(
+            _fwd_kernel, scale=scale, kv_len=skv, block_k=block_k, n_kv=n_kv
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq_p, 1), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
     )(qh, kh, vh)
     return _from_heads(out[:, :sq], b, h), lse[:, :sq]
 

@@ -57,3 +57,15 @@ def test_gradients_flow():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
+
+
+def test_wide_head_long_seq_matches_xla():
+    """512-dim single-head long-seq case (VAE mid block at 1024px+): the kv
+    -blocked grid must not require resident KV in VMEM and must still match
+    XLA numerically."""
+    shape = (1, 2048, 1, 512)
+    ks = jax.random.split(jax.random.key(5), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+    ours = FA.flash_attention_bshd(q, k, v)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-3, rtol=3e-3)

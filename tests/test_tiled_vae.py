@@ -91,10 +91,42 @@ class TestStreamingVAE:
         )
         assert out.shape == ref.shape
         assert np.isfinite(out).all()
-        # no numeric bound: downsampled-stat estimation is only meaningful
-        # for pretrained nets on natural images (random weights amplify the
-        # distribution shift arbitrarily); exactness is covered by the
-        # exact-stats tests above
+        # no numeric bound at raw random init (it amplifies the distribution
+        # shift arbitrarily); the quantitative bound lives in
+        # test_decode_fast_mode_error_bounded_on_smooth_fixture
+
+    def test_decode_fast_mode_error_bounded_on_smooth_fixture(self):
+        """Quantitative fast-mode accuracy on a pretrained-like fixture:
+        conv kernels damped toward identity-scale responses and a smooth
+        low-frequency latent (the regime the downsampled-stat estimate is
+        designed for, vaehook :714-735). The fast streaming decode must stay
+        within a small fraction of the untiled output's dynamic range."""
+        from omgsr_tpu.models.configs import VAEConfig
+
+        cfg = VAEConfig(
+            block_out_channels=(8, 16), norm_num_groups=4, latent_channels=4,
+            mid_block_attention=False,
+        )
+        p = V.init_vae(jax.random.key(11), cfg)
+        # damp conv responses: pretrained VAEs have near-unit-gain blocks,
+        # random kaiming init does not
+        p = jax.tree.map(lambda x: x * 0.3 if x.ndim == 4 else x, p)
+        # smooth latent: upsampled low-resolution noise
+        low = jax.random.normal(jax.random.key(12), (1, 5, 6, 4)) * 0.5
+        z = jax.image.resize(low, (1, 40, 48, 4), "cubic")
+
+        ref = np.asarray(V.vae_decode(p, cfg, z))
+        out = np.asarray(
+            streaming_vae_decode(p, cfg, z, tile=16, pad=8, est_size=24)
+        )
+        scale = np.abs(ref).max() + 1e-6
+        d = np.abs(out - ref) / scale
+        # measured on this fixture: mean 0.028, q99 0.24 (isolated seam
+        # pixels reach ~0.47 — the downsampled estimate is approximate by
+        # design, vaehook :714); bounds carry ~1.5x margin and fail loudly
+        # on catastrophic stat drift, which is O(1) everywhere
+        assert d.mean() < 0.05, f"mean rel err {d.mean():.4f}"
+        assert np.quantile(d, 0.99) < 0.35, f"q99 rel err {np.quantile(d, 0.99):.4f}"
 
     def test_decode_nondivisible_size(self, vae_params):
         z = jax.random.normal(jax.random.key(5), (1, 21, 13, 4)) * 0.2
