@@ -85,74 +85,86 @@ def _fwd_kernel(
 # ----------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, kv_len, block_k):
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, scale, kv_len, block_k, n_kv
+):
+    """dQ for one (q block, kv block) grid cell; kv is the innermost
+    (sequential) axis with the dQ accumulator in VMEM scratch — KV never
+    needs to be VMEM-resident whole (same memory-flat structure as the
+    forward)."""
     bq, d = q_ref.shape
-    skv = k_ref.shape[0]
-    n_blocks = skv // block_k
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros((bq, d), jnp.float32)
 
     q = q_ref[:].astype(jnp.float32)
     do = do_ref[:].astype(jnp.float32)
     lse = lse_ref[:]
     delta = delta_ref[:]
+    k_blk = k_ref[:].astype(jnp.float32)
+    v_blk = v_ref[:].astype(jnp.float32)
+    s = scale * jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta)
+    dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+        ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, dq):
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = scale * jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        return dq + scale * jax.lax.dot_general(
-            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    dq = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[:] = dq.astype(dq_ref.dtype)
+    @pl.when(i == n_kv - 1)
+    def _finish():
+        dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, q_len, block_q):
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, q_len, block_q, n_q
+):
+    """dK/dV for one (kv block, q block) grid cell; q is the innermost
+    (sequential) axis, accumulators in VMEM scratch — Q/dO never need to be
+    VMEM-resident whole."""
     bk, d = k_ref.shape
-    sq = q_ref.shape[0]
-    n_blocks = sq // block_q
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros((bk, d), jnp.float32)
+        dv_acc[:] = jnp.zeros((bk, d), jnp.float32)
 
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
+    q_blk = q_ref[:].astype(jnp.float32)
+    do_blk = do_ref[:].astype(jnp.float32)
+    lse_blk = lse_ref[:]
+    delta_blk = delta_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0) + i * block_q
+    s = scale * jax.lax.dot_general(
+        q_blk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, bk)
+    s = jnp.where(row < q_len, s, _NEG_INF)
+    p = jnp.exp(s - lse_blk)
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_blk)
+    dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
+        ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, carry):
-        dk, dv = carry
-        q_blk = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse_blk = lse_ref[pl.ds(i * block_q, block_q), :]
-        delta_blk = delta_ref[pl.ds(i * block_q, block_q), :]
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0) + i * block_q
-        s = scale * jax.lax.dot_general(
-            q_blk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, bk)
-        s = jnp.where(row < q_len, s, _NEG_INF)
-        p = jnp.exp(s - lse_blk)
-        dv = dv + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta_blk)
-        dk = dk + scale * jax.lax.dot_general(
-            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return dk, dv
-
-    dk = jnp.zeros((bk, d), jnp.float32)
-    dv = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_blocks, body, (dk, dv))
-    dk_ref[:] = dk.astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
+    @pl.when(i == n_q - 1)
+    def _finish():
+        dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
 
 # ----------------------------------------------------------------------------
@@ -244,40 +256,51 @@ def _backward(q, k, v, o, lse, g, scale):
     sq_p, skv_p = qh.shape[1], kh.shape[1]
     bh = b * h
 
+    n_kv = skv_p // block_k
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=skv, block_k=block_k),
-        grid=(bh, sq_p // block_q),
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, kv_len=skv, block_k=block_k, n_kv=n_kv
+        ),
+        grid=(bh, sq_p // block_q, n_kv),
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
     )(qh, kh, vh, doh, lse_p, delta)
 
+    n_q = sq_p // block_q
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, q_len=sq, block_q=block_q),
-        grid=(bh, skv_p // block_k),
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, q_len=sq, block_q=block_q, n_q=n_q
+        ),
+        grid=(bh, skv_p // block_k, n_q),
         in_specs=[
-            pl.BlockSpec((None, sq_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, sq_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, sq_p, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, sq_p, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda i, j, k_: (i, k_, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda i, j, k_: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
             jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
     )(qh, kh, vh, doh, lse_p, delta)
 
     return (

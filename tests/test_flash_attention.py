@@ -69,3 +69,21 @@ def test_wide_head_long_seq_matches_xla():
     ours = FA.flash_attention_bshd(q, k, v)
     ref = jax.nn.dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-3, rtol=3e-3)
+
+
+def test_gradients_flow_wide_head():
+    """Backward with the q/kv-blocked grids at d=512 (VAE mid head)."""
+    shape = (1, 640, 1, 512)
+    ks = jax.random.split(jax.random.key(7), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) * 0.2 for kk in ks)
+
+    def loss_flash(q, k, v):
+        return (FA.flash_attention_bshd(q, k, v) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (jax.nn.dot_product_attention(q, k, v) ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3)
