@@ -71,6 +71,8 @@ def _install_torchvision_shim():
         yiq = torch.einsum("...chw,dc->...dhw", yiq, rot)
         return torch.einsum("...chw,dc->...dhw", yiq, torch.linalg.inv(m)).clamp(0, 1)
 
+    import importlib.machinery
+
     tv = types.ModuleType("torchvision")
     tr = types.ModuleType("torchvision.transforms")
     ft = types.ModuleType("torchvision.transforms._functional_tensor")
@@ -84,10 +86,12 @@ def _install_torchvision_shim():
     tv.transforms = tr
     tr._functional_tensor = ft
     tr.functional = fn
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.transforms"] = tr
-    sys.modules["torchvision.transforms._functional_tensor"] = ft
-    sys.modules["torchvision.transforms.functional"] = fn
+    for mod in (tv, tr, ft, fn):
+        # a registered module with __spec__=None breaks importlib.util
+        # .find_spec for everyone else in the process (e.g. transformers'
+        # availability probing in test_hf_text_parity)
+        mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
+        sys.modules[mod.__name__] = mod
 
 
 @pytest.fixture(scope="module")
