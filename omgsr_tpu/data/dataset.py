@@ -162,11 +162,21 @@ class PairedLoader:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        # one-deep device pipeline: dispatch the next batch's degradation
-        # before yielding the previous one
+        # one-deep device pipeline: when the producer is ahead, dispatch the
+        # next batch's degradation before yielding the previous one; when
+        # the producer is the bottleneck (queue empty), yield immediately
+        # instead of holding the ready batch hostage to the next disk load
         pending = None
         while True:
-            hq = q.get()
+            if pending is not None:
+                try:
+                    hq = q.get_nowait()
+                except queue.Empty:
+                    yield pending
+                    pending = None
+                    hq = q.get()
+            else:
+                hq = q.get()
             if hq is stop:
                 if pending is not None:
                     yield pending

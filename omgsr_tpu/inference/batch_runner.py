@@ -53,7 +53,12 @@ def run_batch(
     batch_size: same-bucket batching — consecutive images that land in the
     same padded shape are stacked up to this size and dispatched as ONE
     device call (the MXU is underutilized at batch 1; remainders flush at
-    end of stream or on a bucket change). Returns average seconds/image.
+    end of stream or on a bucket change). NOTE with batch_size > 1 the
+    infer_fn receives the group's FIRST index, so latent-sampling noise is
+    drawn per batch: outputs are deterministic for a given input list but
+    an image's noise draw depends on its group (use the pipelines'
+    mean-latent mode for grouping-invariant output). Returns average
+    seconds/image.
     """
     os.makedirs(output_dir, exist_ok=True)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -120,10 +125,8 @@ def run_batch(
             item = q.get()
             if item is stop:
                 break
-            if group and (
-                len(group) >= batch_size or group[0][2].shape != item[2].shape
-            ):
-                flush()
+            if group and group[0][2].shape != item[2].shape:
+                flush()  # bucket change; post-append flush keeps len < batch_size
             group.append(item)
             if len(group) >= batch_size:
                 flush()

@@ -102,9 +102,14 @@ def _flux_tp_spec(keys: tuple, shape: tuple):
     if not in_blocks:
         return None
     ks = set(keys)
-    col = bool(ks & _TP_COL) or (("ff" in ks or "ff_context" in ks) and "0" in ks)
+    # inside an ff/ff_context subtree, the up-projection is the only dense
+    # under a "proj" key (net.0.proj); the down-projection is net.2. Do NOT
+    # match on numeric keys — unrolled layouts carry block indices ("0",
+    # "2") in the same path and would collide.
+    in_ff = "ff" in ks or "ff_context" in ks
+    col = bool(ks & _TP_COL) or (in_ff and "proj" in ks)
     row = bool(ks & _TP_ROW) or (
-        (("ff" in ks or "ff_context" in ks) and "2" in ks)
+        (in_ff and "proj" not in ks)
         or ("single_transformer_blocks" in ks and "proj_out" in ks)
     )
     if not (col or row):

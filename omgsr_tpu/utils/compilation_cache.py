@@ -33,8 +33,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache every graph (the default 1 s floor would skip the small jitted
-    # helpers that still cost dispatch-side tracing on restart)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # keep jax's default compile-time/size floors: the cache has no
+    # eviction, and persisting every tiny per-shape helper graph (the
+    # exact-VAE op plan, degradation variants) would grow it without bound
+    # for graphs that recompile in well under a second anyway
     return cache_dir

@@ -71,3 +71,38 @@ def test_tp_sharded_pipeline_matches_replicated():
     outp = [s for k, s in specs.items() if "to_out" in k and "kernel" in k]
     assert qkv and all("tp" in s for s in qkv), qkv
     assert outp and all("tp" in s for s in outp), outp
+
+
+def test_tp_specs_unrolled_layout_ff_classification():
+    """Unrolled (non-scanned) blocks carry numeric block indices in the key
+    path; ff up/down classification must not collide with them (block '0'
+    vs net.'0', block '2' vs net.'2')."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.tree_util as jtu
+
+    from omgsr_tpu.models.configs import FluxConfig
+    from omgsr_tpu.parallel import create_mesh, shard_params_flux_tp
+
+    cfg = FluxConfig(
+        num_layers=3, num_single_layers=3, attention_head_dim=8,
+        num_attention_heads=4, joint_attention_dim=16,
+        pooled_projection_dim=8, axes_dims_rope=(2, 4, 2),
+    )
+    fp = F.init_flux(jax.random.key(0), cfg)  # unrolled: blocks "0".."2"
+    mesh = create_mesh({"data": 4, "tp": 2})
+    specs = {
+        jtu.keystr(p): s.spec
+        for p, s in jtu.tree_leaves_with_path(shard_params_flux_tp(fp, mesh, min_size=1))
+    }
+    for blk in ("0", "1", "2"):
+        up = specs[f"['transformer_blocks']['{blk}']['ff']['net']['0']['proj']['kernel']"]
+        down = specs[f"['transformer_blocks']['{blk}']['ff']['net']['2']['kernel']"]
+        assert up[-1] == "tp" and up[-2] is None, (blk, up)       # column: out dim
+        assert down[-2] == "tp" and down[-1] is None, (blk, down)  # row: in dim
+        down_bias = specs[f"['transformer_blocks']['{blk}']['ff']['net']['2']['bias']"]
+        assert all(a is None for a in down_bias), (blk, down_bias)
+        sp = specs[f"['single_transformer_blocks']['{blk}']['proj_out']['kernel']"]
+        assert sp[-2] == "tp" and sp[-1] is None, (blk, sp)
+        mlp = specs[f"['single_transformer_blocks']['{blk}']['proj_mlp']['kernel']"]
+        assert mlp[-1] == "tp", (blk, mlp)
