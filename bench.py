@@ -218,6 +218,23 @@ def main():
     if os.environ.get("OMGSR_BENCH_TRAIN", "1") == "1":
         _section("train_s_512_s_per_step", extras, primary, run_train_step)
 
+    # ---- section 5 (opt-in): -S 512->2048 x4 long-context protocol ----------
+    # 49 latent-64 tiles + full-image VAE at 2048 px; the 2048 decode's mid
+    # attention (S=65536) dispatches to the kv-blocked Pallas flash kernel
+    # (XLA would materialize an 8.6 GB score matrix). Off by default to keep
+    # driver bench time bounded; OMGSR_BENCH_2048=1 enables.
+    def run_2048():
+        def sr_512_to_2048(lq512):
+            return pipe(
+                jax.jit(lambda x: resize(x, 2048, 2048, "bicubic"))(lq512),
+                prompt_sd, tile_size=64, tile_overlap=32,
+            )
+
+        return _timed(sr_512_to_2048, lambda: fresh((1, 512, 512, 3)), fence, iters=3)
+
+    if os.environ.get("OMGSR_BENCH_2048", "0") == "1":
+        _section("omgsr_s_512to2048_x4_s_per_image", extras, primary, run_2048)
+
 
 if __name__ == "__main__":
     main()

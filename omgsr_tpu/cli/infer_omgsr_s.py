@@ -69,7 +69,8 @@ def build_pipeline(args, dtype):
         if os.path.isdir(unet_ad):
             unet_params = merge_lora(unet_params, load_adapter_dir(unet_ad))
     return OMGSRSPipeline(
-        vae_params, unet_params, vae_cfg, unet_cfg, mid_timestep=args.mid_timestep
+        vae_params, unet_params, vae_cfg, unet_cfg, mid_timestep=args.mid_timestep,
+        vae_tile=args.vae_tile, vae_stats=args.vae_stats,
     )
 
 
@@ -118,6 +119,10 @@ def parse_args(argv=None):
     parser.add_argument("--prompt", type=str, default="")
     parser.add_argument("--prompt_npz", type=str, default=None, help="precomputed prompt embeddings (.npz)")
     parser.add_argument("--mid_timestep", type=int, default=273)
+    parser.add_argument("--vae_tile", type=int, default=None,
+                        help="tile the VAE beyond this many pixels (vaehook equivalent; for 2K+ outputs)")
+    parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact"],
+                        help="tiled-VAE GroupNorm statistics: fast (downsampled estimate, one XLA graph) or exact (tile-accumulated global stats == untiled output)")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="same-bucket serving batch size (images per device call)")
     parser.add_argument("--size_bucket", type=int, default=64,

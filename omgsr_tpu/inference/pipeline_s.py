@@ -36,10 +36,20 @@ class OMGSRSPipeline:
         mid_timestep: int = 273,
         tile_batch: int = 4,
         vae_tile: int | None = None,
+        vae_stats: str = "fast",
     ):
         """vae_tile: when set, VAE encode/decode stream through overlap-padded
         tiles of this many pixels (inference.tiled_vae) — the vaehook
-        equivalent for images too large for a full-image VAE pass."""
+        equivalent for images too large for a full-image VAE pass.
+
+        vae_stats: "fast" keeps the whole step one XLA graph (GroupNorm
+        statistics estimated from a downsampled copy, vaehook fast mode);
+        "exact" runs the VAE stages op-streamed on stored boundary buffers
+        with tile-accumulated global statistics (== full-image VAE to float
+        tolerance) while the tiled UNet mid-section stays one jitted graph —
+        the single-chip exactness mode for 2-4K outputs."""
+        if vae_stats not in ("fast", "exact"):
+            raise ValueError(f"vae_stats must be 'fast' or 'exact', got {vae_stats!r}")
         self.vae_params = vae_params
         self.unet_params = unet_params
         self.vae_cfg = vae_cfg
@@ -47,12 +57,29 @@ class OMGSRSPipeline:
         self.mid_timestep = mid_timestep
         self.tile_batch = tile_batch
         self.vae_tile = vae_tile
+        self.vae_stats = vae_stats
         alpha_t = float(ddpm_alphas_cumprod()[mid_timestep])
         self.sqrt_alpha = math.sqrt(alpha_t)
         self.sqrt_one_minus_alpha = math.sqrt(1.0 - alpha_t)
         self._jitted = functools.partial(
             jax.jit, static_argnames=("tile_size", "tile_overlap", "sample_latent")
         )(self._forward)
+        self._jitted_mid = functools.partial(
+            jax.jit, static_argnames=("tile_size", "tile_overlap")
+        )(self._latent_mid)
+
+    def _latent_mid(self, unet_params, z, prompt_embeds, *, tile_size, tile_overlap):
+        """latent -> x0 latent: tiled UNet epsilon at the mid-timestep."""
+
+        def denoise(tiles):
+            n = tiles.shape[0]
+            ctx = jnp.broadcast_to(
+                prompt_embeds, (n,) + prompt_embeds.shape[-2:]
+            ).astype(tiles.dtype)
+            return unet_sd.unet_apply(unet_params, self.unet_cfg, tiles, self.mid_timestep, ctx)
+
+        eps = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
+        return (z - self.sqrt_one_minus_alpha * eps) / self.sqrt_alpha
 
     def _forward(
         self,
@@ -78,15 +105,9 @@ class OMGSRSPipeline:
                 vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
             )
 
-        def denoise(tiles):
-            n = tiles.shape[0]
-            ctx = jnp.broadcast_to(
-                prompt_embeds, (n,) + prompt_embeds.shape[-2:]
-            ).astype(tiles.dtype)
-            return unet_sd.unet_apply(unet_params, self.unet_cfg, tiles, self.mid_timestep, ctx)
-
-        eps = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
-        z0 = (z - self.sqrt_one_minus_alpha * eps) / self.sqrt_alpha
+        z0 = self._latent_mid(
+            unet_params, z, prompt_embeds, tile_size=tile_size, tile_overlap=tile_overlap
+        )
         if self.vae_tile and min(z0.shape[1], z0.shape[2]) > self.vae_tile // self.vae_cfg.downscale:
             from omgsr_tpu.inference.tiled_vae import streaming_vae_decode
 
@@ -111,6 +132,25 @@ class OMGSRSPipeline:
         if rng is None:
             rng = jax.random.key(0)
             sample_latent = False
+        if (
+            self.vae_stats == "exact"
+            and self.vae_tile
+            and min(lq_img.shape[1], lq_img.shape[2]) > self.vae_tile
+        ):
+            # exact mode is host-orchestrated (op-streamed VAE around the
+            # jitted latent mid-section) — see __init__ docstring
+            from omgsr_tpu.inference.tiled_vae import exact_vae_decode, exact_vae_encode
+
+            z = exact_vae_encode(
+                self.vae_params, self.vae_cfg, lq_img,
+                rng=rng if sample_latent else None, sample=sample_latent,
+            )
+            z0 = self._jitted_mid(
+                self.unet_params, z, prompt_embeds,
+                tile_size=tile_size, tile_overlap=tile_overlap,
+            )
+            img = exact_vae_decode(self.vae_params, self.vae_cfg, z0)
+            return jnp.clip(img, -1.0, 1.0)
         return self._jitted(
             self.vae_params,
             self.unet_params,

@@ -178,3 +178,26 @@ class TestPipelineVAETile:
         b = np.asarray(tiled(lq, ctx, tile_size=16, tile_overlap=8))
         assert b.shape == a.shape
         assert np.isfinite(b).all()
+
+    def test_exact_vae_stats_equals_full_pipeline(self):
+        """vae_stats=\"exact\" must reproduce the full-image-VAE pipeline to
+        float tolerance — the single-chip exactness contract for 2-4K."""
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        full = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET)
+        exact = OMGSRSPipeline(
+            vp, up, TINY_VAE, TINY_UNET, vae_tile=48, vae_stats="exact"
+        )
+        lq = jnp.tanh(jax.random.normal(jax.random.key(4), (1, 96, 96, 3)))
+        ctx = jax.random.normal(jax.random.key(5), (1, 7, 16))
+        a = np.asarray(full(lq, ctx, tile_size=16, tile_overlap=8))
+        b = np.asarray(exact(lq, ctx, tile_size=16, tile_overlap=8))
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-3)
+
+    def test_vae_stats_validation(self):
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        import pytest
+
+        with pytest.raises(ValueError):
+            OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, vae_stats="bogus")
