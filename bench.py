@@ -11,7 +11,8 @@ Primary metric — the driver's north star (BASELINE.json: "OMGSR-F 256->1024
 in <1 s/image"): the full 256->1024 x4 production protocol on the real chip —
 jitted bicubic x4 pre-upscale (infer/infer_omgsr_s.sh protocol), VAE encode at
 1024 px, tiled SD2.1 UNet (865M, bf16) over 9 latent-64 tiles with overlap-32
-gaussian stitching at tile_batch 4, x0 recovery, full-image VAE decode, clamp.
+gaussian stitching at auto tile_batch (3: padding-free divisor — measured
+faster than the padded 4), x0 recovery, full-image VAE decode, clamp.
 
 Extras:
   omgsr_s_512_one_step_s_per_image  — the single-tile 512 px one-step graph.
@@ -106,7 +107,7 @@ def main():
     unet_params = unet_sd.init_unet(k2, SD21_UNET, dtype=dtype)
     prompt_sd = jnp.asarray(rng.normal(size=(1, 77, 1024)), dtype)
 
-    pipe = OMGSRSPipeline(vae_params, unet_params, tile_batch=4)
+    pipe = OMGSRSPipeline(vae_params, unet_params)  # tile_batch auto: 3 for 9 tiles
     upscale = jax.jit(lambda x: resize(x, 1024, 1024, "bicubic"))
 
     def sr_256_to_1024(lq256):
@@ -163,7 +164,7 @@ def main():
         prompt_f = jnp.asarray(rng.normal(size=(1, 512, 4096)), dtype)
         pooled_f = jnp.asarray(rng.normal(size=(1, 768)), dtype)
 
-        pipe_f = OMGSRFPipeline(fvae_params, flux_params, flux_cfg=proxy_cfg, tile_batch=3)
+        pipe_f = OMGSRFPipeline(fvae_params, flux_params, flux_cfg=proxy_cfg)
 
         def sr_f_1024(lq1024):
             return pipe_f(lq1024, prompt_f, pooled_f, tile_size=64, tile_overlap=32)
@@ -234,6 +235,103 @@ def main():
 
     if os.environ.get("OMGSR_BENCH_2048", "0") == "1":
         _section("omgsr_s_512to2048_x4_s_per_image", extras, primary, run_2048)
+
+    # ---- section 6 (opt-in): data-loader throughput against real disk IO ----
+    # Answers "can the host pipeline feed the 0.44 s/step train step?": writes
+    # synthetic PNGs to a temp dir, then runs the full PairedDataset ->
+    # RealESRGANDegrader -> PairedLoader path (native decode, host crop/flip,
+    # device-batched degradation, one-deep device pipeline) and reports
+    # steady-state images/second. OMGSR_BENCH_LOADER=1 enables.
+    def run_loader():
+        import tempfile
+
+        import yaml
+        from PIL import Image
+
+        from omgsr_tpu.data.dataset import PairedDataset, PairedLoader
+        from omgsr_tpu.data.degradation import RealESRGANDegrader
+
+        tmp = tempfile.mkdtemp(prefix="omgsr_loader_bench_")
+        n_imgs, size = 64, 720
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        for i in range(n_imgs):
+            base = 0.5 + 0.4 * np.sin(6.28 * (yy * (i % 5 + 1) + xx * (i % 3 + 1)))
+            img = np.stack([base, base[::-1], base.T], -1)
+            img = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
+            Image.fromarray((img * 255).astype(np.uint8)).save(f"{tmp}/im_{i:03d}.png")
+
+        with open(
+            os.path.join(os.path.dirname(__file__), "omgsr_tpu/configs/params_realesrgan.yml")
+        ) as f:
+            opt = yaml.safe_load(f)
+        ds = PairedDataset([tmp], resolution=512, seed=0)
+        loader = PairedLoader(ds, batch_size=4, degrader=RealESRGANDegrader(opt), seed=0)
+
+        def epoch():
+            t0 = time.perf_counter()
+            means, n = [], 0
+            for batch in loader:
+                means.append(jnp.mean(batch["lq"]) + jnp.mean(batch["hq"]))
+                n += batch["lq"].shape[0]
+            fence(jnp.stack(means).sum())  # one fetch: keep the pipeline async
+            return n / (time.perf_counter() - t0)
+
+        epoch()  # warm: compile the per-plan-structure degradation graphs
+        epoch()
+        return epoch()  # imgs/s (higher is better; unit field still says s/image)
+
+    if os.environ.get("OMGSR_BENCH_LOADER", "0") == "1":
+        _section("loader_512_imgs_per_s", extras, primary, run_loader)
+
+    # ---- section 7 (opt-in): train-step batch scaling ------------------------
+    # OMGSR_BENCH_TRAIN_BS=<N> measures the full-scale -S train micro-step at
+    # batch N and reports seconds per step (imgs/s = N / value).
+    def run_train_bs(bs):
+        from omgsr_tpu.config import TrainConfig
+        from omgsr_tpu.lora import SD_TARGET_MODULES, init_lora_tree
+        from omgsr_tpu.losses.discriminator import init_discriminator
+        from omgsr_tpu.losses.dists import init_dists
+        from omgsr_tpu.models import convnext as CN
+        from omgsr_tpu.models.configs import CONVNEXT_SIZES
+        from omgsr_tpu.training.trainer import TrainerS
+
+        cfg = TrainConfig(gradient_checkpointing=True, train_batch_size=bs)
+        cn_cfg = CONVNEXT_SIZES["large"]
+        kk = jax.random.split(jax.random.key(4), 4)
+        backbone = CN.init_convnext(kk[0], cn_cfg, dtype=dtype)
+        frozen = {
+            "vae": vae_params,
+            "vae_cfg": SD21_VAE,
+            "unet": unet_params,
+            "unet_cfg": SD21_UNET,
+            "backbone": backbone,
+            "dists": init_dists(backbone, cn_cfg.dims),
+            "prompt_embeds": prompt_sd,
+        }
+        gen_lora = {
+            "vae_encoder": init_lora_tree(
+                kk[1], vae_params["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
+            ),
+            "denoiser": init_lora_tree(kk[2], unet_params, SD_TARGET_MODULES, cfg.unet_lora_rank),
+        }
+        disc = init_discriminator(kk[3], cn_cfg.dims[:3], cfg.resolution)
+        trainer = TrainerS(cfg, frozen, gen_lora, disc)
+
+        def train_micro(batch):
+            metrics, _ = trainer.train_step(batch, jax.random.key(5))
+            return metrics["loss_total_G"]
+
+        return _timed(
+            train_micro,
+            lambda: {"lq": fresh((bs, 512, 512, 3)), "hq": fresh((bs, 512, 512, 3))},
+            lambda loss: float(loss),
+            iters=3,
+        )
+
+    bs_env = int(os.environ.get("OMGSR_BENCH_TRAIN_BS", "0"))
+    if bs_env > 1:
+        _section(f"train_s_512_bs{bs_env}_s_per_step", extras, primary,
+                 lambda: run_train_bs(bs_env))
 
 
 if __name__ == "__main__":

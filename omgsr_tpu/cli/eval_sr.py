@@ -1,0 +1,123 @@
+"""Quantitative SR evaluation: PSNR / SSIM over an output/GT folder pair.
+
+The reference evaluates on RealSR/DRealSR/RealLQ250 protocols but ships no
+eval script (its README.md:45-90 links qualitative imgsli comparisons only);
+this CLI closes that gap: it pairs SR outputs with ground-truth images by
+filename stem and reports per-image and mean PSNR/SSIM, with the standard
+SR-paper conventions (optional border crop and Y-channel evaluation).
+
+    python -m omgsr_tpu.cli.eval_sr --sr_dir out/ --gt_dir gt/ \
+        --crop_border 4 --y_channel --output metrics.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from omgsr_tpu.data.dataset import collect_paths
+
+
+def _load01(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def _to_y(arr: np.ndarray) -> np.ndarray:
+    """BT.601 luma (the SR-paper convention): Y in [0,1] from RGB in [0,1]."""
+    y = arr @ np.asarray([65.481, 128.553, 24.966], np.float32) + 16.0
+    return (y / 255.0)[..., None]
+
+
+def pair_by_stem(sr_paths: list[str], gt_paths: list[str]):
+    gt_by_stem = {os.path.splitext(os.path.basename(p))[0]: p for p in gt_paths}
+    pairs, missing = [], []
+    for sp in sorted(sr_paths):
+        stem = os.path.splitext(os.path.basename(sp))[0]
+        # SR CLIs keep the input stem; also accept a single trailing suffix
+        # like `name_out` / `name_x4`
+        hit = gt_by_stem.get(stem) or gt_by_stem.get(stem.rsplit("_", 1)[0])
+        (pairs if hit else missing).append((sp, hit) if hit else sp)
+    return pairs, missing
+
+
+def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from omgsr_tpu.utils.metrics import psnr, ssim
+
+    @jax.jit
+    def both(a, b):
+        return psnr(a, b)[0], ssim(a, b)[0]
+
+    rows = []
+    for sr_path, gt_path in pairs:
+        a, b = _load01(sr_path), _load01(gt_path)
+        if a.shape != b.shape:
+            raise ValueError(
+                f"size mismatch: {sr_path} {a.shape} vs {gt_path} {b.shape}"
+            )
+        if crop_border:
+            a = a[crop_border:-crop_border, crop_border:-crop_border]
+            b = b[crop_border:-crop_border, crop_border:-crop_border]
+        if y_channel:
+            a, b = _to_y(a), _to_y(b)
+        p, s = both(jnp.asarray(a)[None], jnp.asarray(b)[None])
+        rows.append(
+            {"name": os.path.basename(sr_path), "psnr": float(p), "ssim": float(s)}
+        )
+    return rows
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sr_dir", type=str, required=True, nargs="+",
+                        help="SR output dir(s) or .txt list(s)")
+    parser.add_argument("--gt_dir", type=str, required=True, nargs="+",
+                        help="ground-truth dir(s) or .txt list(s)")
+    parser.add_argument("--crop_border", type=int, default=0,
+                        help="pixels cropped from every edge before scoring "
+                        "(SR convention: the upscale factor)")
+    parser.add_argument("--y_channel", action="store_true",
+                        help="evaluate on the BT.601 Y channel (SR-paper convention)")
+    parser.add_argument("--output", type=str, default=None,
+                        help="write per-image + summary metrics as JSON")
+    args = parser.parse_args(args)
+
+    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    pairs, missing = pair_by_stem(collect_paths(args.sr_dir), collect_paths(args.gt_dir))
+    for m in missing:
+        print(f"WARNING: no ground truth for {m}, skipped")
+    if not pairs:
+        raise SystemExit("no (SR, GT) pairs found")
+
+    rows = evaluate_pairs(pairs, args.crop_border, args.y_channel)
+    for r in rows:
+        print(f"{r['name']:40s} PSNR {r['psnr']:7.3f}  SSIM {r['ssim']:.4f}")
+    summary = {
+        "n": len(rows),
+        "psnr_mean": float(np.mean([r["psnr"] for r in rows])),
+        "ssim_mean": float(np.mean([r["ssim"] for r in rows])),
+        "crop_border": args.crop_border,
+        "y_channel": args.y_channel,
+    }
+    print(
+        f"mean over {summary['n']} images: PSNR {summary['psnr_mean']:.3f} "
+        f"SSIM {summary['ssim_mean']:.4f}"
+    )
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump({"summary": summary, "per_image": rows}, f, indent=2)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,7 @@ class OMGSRFPipeline:
         flux_cfg: FluxConfig = FLUX_DEV,
         mid_timestep: int = 244,
         guidance_scale: float = 1.0,
-        tile_batch: int = 1,
+        tile_batch: int | None = None,
         scan_blocks: bool = True,
     ):
         if scan_blocks and "stacked" not in flux_params.get("transformer_blocks", {}):

@@ -34,7 +34,7 @@ class OMGSRSPipeline:
         vae_cfg: VAEConfig = SD21_VAE,
         unet_cfg: UNetConfig = SD21_UNET,
         mid_timestep: int = 273,
-        tile_batch: int = 4,
+        tile_batch: int | None = None,
         vae_tile: int | None = None,
         vae_stats: str = "fast",
     ):

@@ -18,12 +18,22 @@ import numpy as np
 from omgsr_tpu.diffusion.tiling import gaussian_tile_weights, tile_grid_2d
 
 
+def auto_tile_batch(n: int, cap: int = 8) -> int:
+    """Largest divisor of n in [2, cap] — a padding-free denoiser batch (the
+    9-tile 1024-px grid gets 3, the 49-tile 2048 grid gets 7). Falls back to
+    min(n, 4) (with padding) when n has no divisor in range, e.g. prime n."""
+    for d in range(min(cap, n), 1, -1):
+        if n % d == 0:
+            return d
+    return min(n, 4)
+
+
 def tiled_denoise(
     latent: jnp.ndarray,
     denoise_tile,
     tile_size: int,
     tile_overlap: int,
-    tile_batch: int = 1,
+    tile_batch: int | None = 1,
 ):
     """latent (B, H, W, C); denoise_tile: (N, t, t, C) -> (N, t, t, C).
 
@@ -32,6 +42,8 @@ def tiled_denoise(
     third tile coordinate), so one lax.scan covers every (image, tile) pair
     and the denoiser always sees full tile_batch-sized batches — unlike the
     reference, which processes one image and effectively one tile per call.
+    tile_batch=None picks a padding-free divisor of the tile count
+    (auto_tile_batch) — measured fastest on the 9-tile 1024-px protocol.
     """
     b, h, w, c = latent.shape
     t = min(tile_size, h, w)
@@ -40,6 +52,8 @@ def tiled_denoise(
 
     grid = tile_grid_2d(h, w, t, tile_overlap)
     n = b * len(grid)
+    if tile_batch is None:
+        tile_batch = auto_tile_batch(n)
     # (bi, oy, ox) triples over the whole image batch
     triples = [(bi, oy, ox) for bi in range(b) for (oy, ox) in grid]
     pad = (-n) % tile_batch

@@ -1,0 +1,77 @@
+"""Tests for the eval_sr CLI (PSNR/SSIM folder evaluation)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from omgsr_tpu.cli import eval_sr
+
+
+def _save(path, arr01):
+    Image.fromarray((np.clip(arr01, 0, 1) * 255).round().astype(np.uint8)).save(path)
+
+
+@pytest.fixture()
+def folders(tmp_path):
+    gt = tmp_path / "gt"
+    sr = tmp_path / "sr"
+    gt.mkdir()
+    sr.mkdir()
+    rng = np.random.default_rng(0)
+    imgs = {}
+    for name in ("a", "b"):
+        img = rng.uniform(0.2, 0.8, (40, 48, 3)).astype(np.float32)
+        _save(gt / f"{name}.png", img)
+        imgs[name] = np.asarray(Image.open(gt / f"{name}.png"), np.float32) / 255.0
+    # a: identical copy; b: uniform +0.1 offset (=> PSNR exactly 20 dB)
+    _save(sr / "a.png", imgs["a"])
+    _save(sr / "b_out.png", np.clip(imgs["b"] + 0.1, 0, 1))
+    return sr, gt, imgs
+
+
+def test_eval_identical_and_offset(folders, tmp_path):
+    sr, gt, imgs = folders
+    out = tmp_path / "m.json"
+    summary = eval_sr.main(
+        ["--sr_dir", str(sr), "--gt_dir", str(gt), "--output", str(out)]
+    )
+    assert summary["n"] == 2
+    data = json.load(open(out))
+    by_name = {r["name"]: r for r in data["per_image"]}
+    assert by_name["a.png"]["psnr"] > 60  # identical up to uint8 round-trip
+    assert by_name["a.png"]["ssim"] == pytest.approx(1.0, abs=1e-4)
+    # +0.1 offset clipped at 1.0 — most pixels are exact => PSNR near 20 dB
+    assert by_name["b_out.png"]["psnr"] == pytest.approx(20.0, abs=1.0)
+    assert data["summary"]["psnr_mean"] == pytest.approx(
+        np.mean([r["psnr"] for r in data["per_image"]])
+    )
+
+
+def test_eval_y_channel_and_crop(folders):
+    sr, gt, _ = folders
+    summary = eval_sr.main(
+        ["--sr_dir", str(sr), "--gt_dir", str(gt), "--crop_border", "4", "--y_channel"]
+    )
+    assert summary["crop_border"] == 4 and summary["y_channel"]
+    assert np.isfinite(summary["psnr_mean"])
+
+
+def test_eval_unmatched_sr_skipped(folders, capsys):
+    sr, gt, imgs = folders
+    _save(sr / "orphan.png", imgs["a"])
+    summary = eval_sr.main(["--sr_dir", str(sr), "--gt_dir", str(gt)])
+    assert summary["n"] == 2
+    assert "orphan" in capsys.readouterr().out
+
+
+def test_eval_size_mismatch_raises(tmp_path):
+    gt = tmp_path / "gt"
+    sr = tmp_path / "sr"
+    gt.mkdir()
+    sr.mkdir()
+    _save(gt / "x.png", np.zeros((32, 32, 3)))
+    _save(sr / "x.png", np.zeros((16, 16, 3)))
+    with pytest.raises(ValueError, match="size mismatch"):
+        eval_sr.main(["--sr_dir", str(sr), "--gt_dir", str(gt)])

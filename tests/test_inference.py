@@ -60,6 +60,24 @@ class TestTiledDenoise:
         )
         np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-4, atol=1e-5)
 
+    def test_auto_tile_batch_divisors(self):
+        from omgsr_tpu.inference.tiled import auto_tile_batch
+
+        assert auto_tile_batch(9) == 3
+        assert auto_tile_batch(49) == 7
+        assert auto_tile_batch(16) == 8
+        assert auto_tile_batch(4) == 4
+        assert auto_tile_batch(13) == 4  # prime: padded fallback
+        assert auto_tile_batch(2) == 2
+        assert auto_tile_batch(1) == 1
+
+    def test_auto_tile_batch_matches_explicit(self):
+        x = jax.random.normal(jax.random.key(3), (1, 32, 48, 4))
+        f = lambda t: jnp.tanh(t) + 0.25 * t
+        auto = tiled_denoise(x, f, 16, 8, tile_batch=None)
+        explicit = tiled_denoise(x, f, 16, 8, tile_batch=3)
+        np.testing.assert_allclose(np.asarray(auto), np.asarray(explicit), rtol=1e-5, atol=1e-6)
+
     def test_image_batch_matches_per_image(self):
         """B>1: the cross-image tile list must give the same result as
         running each image alone (same-bucket serving batches)."""
