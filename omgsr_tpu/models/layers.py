@@ -65,7 +65,13 @@ def init_rms_norm(dim: int, dtype=jnp.float32):
 
 
 def dense(p, x):
-    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    if "kernel" in p:
+        kernel = p["kernel"].astype(x.dtype)
+    else:
+        # weight-only int8 storage (utils.quantize): dequantize to the
+        # activation dtype at use; the matmul stays bf16 on the MXU
+        kernel = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)[..., None, :]
+    y = jnp.einsum("...i,io->...o", x, kernel)
     if "lora_A" in p:
         # low-rank path: x @ A @ B (scaling 1.0, alpha==rank; see lora/lora.py)
         y = y + jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, p["lora_A"].astype(x.dtype)), p["lora_B"].astype(x.dtype))

@@ -1,0 +1,87 @@
+"""Weight-only int8 compression for dense param trees.
+
+Purpose: FLUX.1-dev's 11.9B-param DiT is 23.8 GB in bf16 — larger than one
+TPU v5e's 16 GB HBM (the reference serves it on a >24 GB CUDA GPU,
+infer/omgsr_f_infer_model.py:103). Per-output-channel symmetric int8
+storage halves the weight bytes to 11.9 GB, which fits, turning the -F
+pipeline into a true single-chip path (multi-chip TP/FSDP shardings remain
+the full-precision option).
+
+Design: storage-only quantization. A dense kernel (in, out) [or a
+scan-stacked (L, in, out)] is replaced by `kernel_q` int8 plus a
+per-output-channel `kernel_scale` f32; `models.layers.dense` dequantizes to
+the activation dtype at use, so the matmul itself stays bf16 on the MXU and
+every model/pipeline works unchanged. Under scan-over-blocks the stacked
+int8 leaf is sliced per iteration, so only one block's bf16 copy is ever
+live — the dequantized model never materializes.
+
+Quantize AFTER LoRA merge-and-unload (adapters fold into bf16 base weights
+first); LoRA deltas attached on top of a quantized base still apply (the
+low-rank path in `dense` is independent of kernel storage).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel_int8(w):
+    """(…, in, out) float kernel -> (int8 kernel_q, f32 per-out-channel scale)."""
+    w32 = jnp.asarray(w, jnp.float32)
+    scale = jnp.max(jnp.abs(w32), axis=-2) / 127.0  # (…, out)
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kernel(p, dtype):
+    """Materialize a (possibly quantized) kernel in `dtype`."""
+    if "kernel" in p:
+        return p["kernel"].astype(dtype)
+    return p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)[..., None, :]
+
+
+def quantize_tree_int8(tree, min_params: int = 1 << 16):
+    """Replace every dense kernel (2-D, or 3-D scan-stacked) with at least
+    `min_params` elements by int8 + scale. Conv kernels (4-D), norms, biases,
+    embeddings and LoRA factors stay in their original dtype. Returns a new
+    tree; does not modify the input."""
+    if isinstance(tree, dict):
+        k = tree.get("kernel")
+        if (
+            k is not None
+            and hasattr(k, "ndim")
+            and k.ndim in (2, 3)
+            and k.size >= min_params
+            and jnp.issubdtype(jnp.asarray(k).dtype, jnp.floating)
+        ):
+            q, scale = quantize_kernel_int8(k)
+            out = {kk: vv for kk, vv in tree.items() if kk != "kernel"}
+            out["kernel_q"] = q
+            out["kernel_scale"] = scale
+            return out
+        return {kk: quantize_tree_int8(vv, min_params) for kk, vv in tree.items()}
+    return tree
+
+
+def tree_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+
+def init_flux_int8(key, cfg, block_dtype=jnp.bfloat16):
+    """Initialize a FLUX param tree directly in int8-compressed form without
+    ever materializing the full bf16 tree on the accelerator: each dual/
+    single block is initialized on the host CPU backend, quantized there,
+    and only then placed on the default device. Used to stage the 12B DiT
+    into one v5e's HBM (random weights; real checkpoints go through
+    convert.porters + quantize_tree_int8 leaf-streamed the same way)."""
+    from omgsr_tpu.models import flux as flux_mod
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = flux_mod.init_flux(key, cfg, dtype=block_dtype)
+        params = flux_mod.stack_block_params(params)
+        params = quantize_tree_int8(params)
+    dev = jax.devices()[0]
+    return jax.tree.map(lambda x: jax.device_put(x, dev), params)

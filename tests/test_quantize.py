@@ -1,0 +1,132 @@
+"""Weight-only int8 compression (utils.quantize): storage halves, outputs
+stay close, pipelines run unchanged."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omgsr_tpu.models import flux as F
+from omgsr_tpu.models.layers import dense
+from omgsr_tpu.utils.quantize import (
+    dequantize_kernel,
+    quantize_kernel_int8,
+    quantize_tree_int8,
+    tree_bytes,
+)
+from tests.test_models import TINY_FLUX
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+class TestKernelQuant:
+    def test_int8_representable_kernel_roundtrips_exactly(self):
+        rng = np.random.default_rng(0)
+        scale = rng.uniform(0.5, 2.0, (8,)).astype(np.float32) / 127.0
+        w = (rng.integers(-127, 128, (16, 8)) * scale).astype(np.float32)
+        w[0, :] = 127 * scale  # pin each column's max to the grid edge
+        q, s = quantize_kernel_int8(jnp.asarray(w))
+        np.testing.assert_allclose(
+            np.asarray(dequantize_kernel({"kernel_q": q, "kernel_scale": s}, jnp.float32)),
+            w, rtol=1e-6, atol=1e-7,
+        )
+
+    def test_dense_quantized_matches_float_for_representable(self):
+        rng = np.random.default_rng(1)
+        w = (rng.integers(-127, 128, (32, 16)) / 127.0).astype(np.float32)
+        w[0, :] = 1.0  # pin each column's max to the grid edge (127/127)
+        bias = rng.normal(size=(16,)).astype(np.float32)
+        x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+        q, s = quantize_kernel_int8(jnp.asarray(w))
+        full = dense({"kernel": jnp.asarray(w), "bias": jnp.asarray(bias)}, x)
+        quant = dense({"kernel_q": q, "kernel_scale": s, "bias": jnp.asarray(bias)}, x)
+        np.testing.assert_allclose(np.asarray(quant), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+    def test_quantization_error_bounded_random(self):
+        rng = np.random.default_rng(2)
+        w = rng.normal(size=(256, 128)).astype(np.float32) * 0.02
+        q, s = quantize_kernel_int8(jnp.asarray(w))
+        wd = np.asarray(dequantize_kernel({"kernel_q": q, "kernel_scale": s}, jnp.float32))
+        # symmetric per-out-channel: elementwise error <= scale/2
+        assert np.all(np.abs(wd - w) <= np.asarray(s)[None, :] * 0.5 + 1e-7)
+
+    def test_stacked_quantization_equals_per_block(self):
+        rng = np.random.default_rng(3)
+        blocks = [rng.normal(size=(32, 16)).astype(np.float32) for _ in range(3)]
+        stacked_q, stacked_s = quantize_kernel_int8(jnp.asarray(np.stack(blocks)))
+        for i, b in enumerate(blocks):
+            qi, si = quantize_kernel_int8(jnp.asarray(b))
+            np.testing.assert_array_equal(np.asarray(stacked_q[i]), np.asarray(qi))
+            np.testing.assert_allclose(np.asarray(stacked_s[i]), np.asarray(si), rtol=1e-7)
+
+
+class TestTreeQuant:
+    def test_tree_structure_and_selectivity(self):
+        rng = np.random.default_rng(4)
+        tree = {
+            "big": {"kernel": jnp.asarray(rng.normal(size=(512, 256)), jnp.float32),
+                    "bias": jnp.zeros((256,))},
+            "small": {"kernel": jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)},
+            "conv": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 64, 64)), jnp.float32)},
+            "norm": {"scale": jnp.ones((64,))},
+        }
+        q = quantize_tree_int8(tree, min_params=1 << 10)
+        assert "kernel_q" in q["big"] and "kernel" not in q["big"]
+        assert q["big"]["kernel_q"].dtype == jnp.int8
+        assert "bias" in q["big"]
+        assert "kernel" in q["small"]  # below threshold: untouched
+        assert "kernel" in q["conv"]  # 4-D conv: untouched
+        assert "scale" in q["norm"]
+        assert tree_bytes(q) < tree_bytes(tree)
+
+    def test_tiny_flux_quantized_output_close(self):
+        cfg = TINY_FLUX
+        key = jax.random.key(0)
+        params = F.init_flux(key, cfg)
+        params_q = quantize_tree_int8(params, min_params=1 << 6)
+
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.normal(size=(1, 16, 64)), jnp.float32)
+        txt = jnp.asarray(rng.normal(size=(1, 5, cfg.joint_attention_dim)), jnp.float32)
+        pooled = jnp.asarray(rng.normal(size=(1, cfg.pooled_projection_dim)), jnp.float32)
+        from omgsr_tpu.diffusion.packing import latent_image_ids
+
+        img_ids = latent_image_ids(4, 4)
+        txt_ids = jnp.zeros((5, 3))
+
+        def run(p):
+            return F.flux_apply(p, cfg, img, 0.5, 1.0, pooled, txt, txt_ids, img_ids)
+
+        full = run(params)
+        quant = run(params_q)
+        assert np.isfinite(np.asarray(quant)).all()
+        assert _rel(quant, full) < 0.05
+
+    def test_pipeline_f_runs_quantized(self):
+        from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+        from tests.test_models import TINY_FLUX_VAE
+
+        key = jax.random.key(1)
+        vp = __import__("omgsr_tpu.models.vae", fromlist=["init_vae"]).init_vae(
+            key, TINY_FLUX_VAE
+        )
+        fp = F.init_flux(jax.random.key(2), TINY_FLUX)
+        fp_stacked = F.stack_block_params(fp)
+        fp_q = quantize_tree_int8(fp_stacked, min_params=1 << 6)
+
+        rng = np.random.default_rng(6)
+        lq = jnp.asarray(np.tanh(rng.normal(size=(1, 32, 32, 3))), jnp.float32)
+        ctx = jnp.asarray(rng.normal(size=(1, 5, TINY_FLUX.joint_attention_dim)), jnp.float32)
+        pooled = jnp.asarray(rng.normal(size=(1, TINY_FLUX.pooled_projection_dim)), jnp.float32)
+
+        out_full = OMGSRFPipeline(vp, fp_stacked, TINY_FLUX_VAE, TINY_FLUX)(
+            lq, ctx, pooled, tile_size=16, tile_overlap=8
+        )
+        out_q = OMGSRFPipeline(vp, fp_q, TINY_FLUX_VAE, TINY_FLUX)(
+            lq, ctx, pooled, tile_size=16, tile_overlap=8
+        )
+        assert np.isfinite(np.asarray(out_q)).all()
+        assert _rel(out_q, out_full) < 0.1
