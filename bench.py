@@ -260,28 +260,49 @@ def main():
             img = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
             Image.fromarray((img * 255).astype(np.uint8)).save(f"{tmp}/im_{i:03d}.png")
 
+        # (a) host side against real disk: PNG decode + crop/flip + stacking.
+        # The degrader is measured separately at a FIXED plan below — timing
+        # free-running plans would measure the tunnel's remote-compile
+        # latency (every new plan structure = one XLA compile), which a real
+        # TPU host pays in milliseconds, not minutes.
+        ds = PairedDataset([tmp], resolution=512, seed=0)
+        loader = PairedLoader(ds, batch_size=4, degrader=None, seed=0)
+
+        def host_epoch():
+            t0 = time.perf_counter()
+            n = 0
+            for batch in loader:
+                n += int(batch["lq"].shape[0])
+            return n / (time.perf_counter() - t0)
+
+        host_epoch()
+        host_rate = host_epoch()
+
+        # (b) device degradation at one compiled plan, bs 4 (steady state)
         with open(
             os.path.join(os.path.dirname(__file__), "omgsr_tpu/configs/params_realesrgan.yml")
         ) as f:
             opt = yaml.safe_load(f)
-        ds = PairedDataset([tmp], resolution=512, seed=0)
-        loader = PairedLoader(ds, batch_size=4, degrader=RealESRGANDegrader(opt), seed=0)
+        deg = RealESRGANDegrader(opt, resolution=512, seed=0)
+        hq = jnp.asarray(rng.uniform(0, 1, (4, 512, 512, 3)).astype(np.float32))
+        from omgsr_tpu.data import degradation as D
 
-        def epoch():
-            t0 = time.perf_counter()
-            means, n = [], 0
-            for batch in loader:
-                means.append(jnp.mean(batch["lq"]) + jnp.mean(batch["hq"]))
-                n += batch["lq"].shape[0]
-            fence(jnp.stack(means).sum())  # one fetch: keep the pipeline async
-            return n / (time.perf_counter() - t0)
+        ks = [D.random_kernels(deg.rng, deg.kcfg) for _ in range(4)]
+        kernels = tuple(jnp.stack([kk[i] for kk in ks]) for i in range(3))
+        plan = D.draw_plan(deg.rng, deg.opt, 512, 512, deg.kcfg.scale_factor, True, 16)
+        degrade_fixed = deg._degrade(plan)
+        key = jax.random.key(0)
+        fence(degrade_fixed(hq, kernels, key))
+        t0 = time.perf_counter()
+        for i in range(8):
+            fence(degrade_fixed(hq, kernels, jax.random.key(i)))
+        deg_rate = 4 * 8 / (time.perf_counter() - t0)
 
-        epoch()  # warm: compile the per-plan-structure degradation graphs
-        epoch()
-        return epoch()  # imgs/s (higher is better; unit field still says s/image)
+        extras["loader_host_512_imgs_per_s"] = round(host_rate, 2)
+        return deg_rate  # device degradation imgs/s at bs 4
 
     if os.environ.get("OMGSR_BENCH_LOADER", "0") == "1":
-        _section("loader_512_imgs_per_s", extras, primary, run_loader)
+        _section("loader_degrade_512_imgs_per_s", extras, primary, run_loader)
 
     # ---- section 7 (opt-in): train-step batch scaling ------------------------
     # OMGSR_BENCH_TRAIN_BS=<N> measures the full-scale -S train micro-step at
@@ -332,6 +353,30 @@ def main():
     if bs_env > 1:
         _section(f"train_s_512_bs{bs_env}_s_per_step", extras, primary,
                  lambda: run_train_bs(bs_env))
+
+    # ---- section 8 (opt-in): FULL FLUX-12B int8 single-chip -F protocol -----
+    # The true 12B DiT (not the 3B proxy) with weight-only int8 compression
+    # (utils.quantize): 11.9 GB of weights fit one v5e's 16 GB HBM.
+    # OMGSR_BENCH_F12B=1 enables (host init of 12B params adds several
+    # minutes before the timed loop).
+    def run_f12b():
+        from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+        from omgsr_tpu.models.configs import FLUX_DEV, FLUX_VAE
+        from omgsr_tpu.utils.quantize import init_flux_int8
+
+        flux_q = init_flux_int8(jax.random.key(5), FLUX_DEV, block_dtype=dtype)
+        fvae_params = vae.init_vae(jax.random.key(6), FLUX_VAE, dtype=dtype)
+        pipe_q = OMGSRFPipeline(fvae_params, flux_q, FLUX_VAE, FLUX_DEV)
+        prompt_f = jnp.asarray(rng.normal(size=(1, 512, 4096)), dtype)
+        pooled_f = jnp.asarray(rng.normal(size=(1, 768)), dtype)
+
+        def sr(lq1024):
+            return pipe_q(lq1024, prompt_f, pooled_f, tile_size=64, tile_overlap=32)
+
+        return _timed(sr, lambda: fresh((1, 1024, 1024, 3)), fence, iters=3)
+
+    if os.environ.get("OMGSR_BENCH_F12B", "0") == "1":
+        _section("omgsr_f_1024_int8_12b_s_per_image", extras, primary, run_f12b)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,13 @@ def build_pipeline(args, dtype):
             vae_params["encoder"] = merge_lora(vae_params["encoder"], load_adapter_dir(vae_ad))
         if os.path.isdir(flux_ad):
             flux_params = merge_lora(flux_params, load_adapter_dir(flux_ad))
+    if args.quantize == "int8":
+        # after LoRA merge: weight-only int8 storage halves the 12B DiT to
+        # 11.9 GB so it fits one 16 GB chip; staged through the host CPU
+        # backend so the device never holds the bf16 stacked copy
+        from omgsr_tpu.utils.quantize import quantize_flux_for_serving
+
+        flux_params = quantize_flux_for_serving(flux_params)
     return OMGSRFPipeline(
         vae_params,
         flux_params,
@@ -98,6 +105,8 @@ def parse_args(argv=None):
     parser.add_argument("--prompt_npz", type=str, default=None)
     parser.add_argument("--mid_timestep", type=int, default=244)
     parser.add_argument("--guidance_scale", type=float, default=1.0)
+    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
+                        help="int8: weight-only DiT compression (12B fits one 16 GB chip)")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="same-bucket serving batch size (images per device call)")
     parser.add_argument("--size_bucket", type=int, default=64,

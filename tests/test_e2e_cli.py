@@ -138,3 +138,25 @@ def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):
     main(args)
     out = Image.open(out_dir / "small.png")
     assert out.size == (64, 96)
+
+    # --quantize int8: same CLI path with the weight-compressed DiT (the
+    # single-chip 12B serving mode); output should stay close to full precision
+    out_dir_q = tmp_path / "out_f_int8"
+    args_q = parse_args(
+        [
+            "--input_image", str(input_images / "small.png"),
+            "--output_dir", str(out_dir_q),
+            "--flux_path", str(root),
+            "--prompt_npz", str(input_images / "prompt_f.npz"),
+            "--process_size", "64", "--upscale", "4",
+            "--align_method", "adain", "--weight_dtype", "fp32",
+            "--quantize", "int8",
+        ]
+    )
+    main(args_q)
+    out_q = Image.open(out_dir_q / "small.png")
+    assert out_q.size == (64, 96)
+    diff = np.abs(
+        np.asarray(out_q).astype(np.float32) - np.asarray(out).astype(np.float32)
+    ).mean()
+    assert diff < 16.0  # uint8 scale: int8 weights stay close to bf16/f32
