@@ -364,7 +364,9 @@ def main():
         from omgsr_tpu.models.configs import FLUX_DEV, FLUX_VAE
         from omgsr_tpu.utils.quantize import init_flux_int8
 
-        flux_q = init_flux_int8(jax.random.key(5), FLUX_DEV, block_dtype=dtype)
+        flux_q = init_flux_int8(
+            jax.random.key(5), FLUX_DEV, block_dtype=dtype, repeat_blocks=True
+        )
         fvae_params = vae.init_vae(jax.random.key(6), FLUX_VAE, dtype=dtype)
         pipe_q = OMGSRFPipeline(fvae_params, flux_q, FLUX_VAE, FLUX_DEV)
         prompt_f = jnp.asarray(rng.normal(size=(1, 512, 4096)), dtype)

@@ -84,16 +84,42 @@ def quantize_flux_for_serving(flux_params):
     return jax.tree.map(lambda x: jax.device_put(x, dev), flux_params)
 
 
-def init_flux_int8(key, cfg, block_dtype=jnp.bfloat16):
+def init_flux_int8(key, cfg, block_dtype=jnp.bfloat16, repeat_blocks: bool = False):
     """Initialize a FLUX param tree directly in int8-compressed form without
-    ever materializing the full bf16 tree on the accelerator: each dual/
-    single block is initialized on the host CPU backend, quantized there,
-    and only then placed on the default device. Used to stage the 12B DiT
-    into one v5e's HBM (random weights; real checkpoints go through
-    convert.porters + quantize_tree_int8 leaf-streamed the same way)."""
+    ever materializing the full bf16 tree on the accelerator: blocks are
+    initialized on the host CPU backend, quantized there, and only then
+    placed on the default device. Used to stage the 12B DiT into one v5e's
+    HBM (random weights; real checkpoints go through convert.porters +
+    quantize_flux_for_serving the same way).
+
+    repeat_blocks=True initializes ONE dual and ONE single block and repeats
+    them across the scan stack — minutes faster on a slow host, identical
+    compute/latency (weights are data to the scan), only for benchmarking."""
+    from dataclasses import replace
+
     from omgsr_tpu.models import flux as flux_mod
 
     cpu = jax.devices("cpu")[0]
+    if not repeat_blocks:
+        with jax.default_device(cpu):
+            params = flux_mod.init_flux(key, cfg, dtype=block_dtype)
+        return quantize_flux_for_serving(params)
+
     with jax.default_device(cpu):
-        params = flux_mod.init_flux(key, cfg, dtype=block_dtype)
-    return quantize_flux_for_serving(params)
+        one = flux_mod.init_flux(
+            key, replace(cfg, num_layers=1, num_single_layers=1), dtype=block_dtype
+        )
+        one = flux_mod.stack_block_params(one)
+        one = quantize_tree_int8(one)
+
+        def rep(n):
+            return lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:])
+
+        one["transformer_blocks"]["stacked"] = jax.tree.map(
+            rep(cfg.num_layers), one["transformer_blocks"]["stacked"]
+        )
+        one["single_transformer_blocks"]["stacked"] = jax.tree.map(
+            rep(cfg.num_single_layers), one["single_transformer_blocks"]["stacked"]
+        )
+    dev = jax.devices()[0]
+    return jax.tree.map(lambda x: jax.device_put(x, dev), one)

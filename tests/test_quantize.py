@@ -105,6 +105,29 @@ class TestTreeQuant:
         assert np.isfinite(np.asarray(quant)).all()
         assert _rel(quant, full) < 0.05
 
+    def test_init_flux_int8_repeat_blocks(self):
+        from dataclasses import replace
+
+        from omgsr_tpu.utils.quantize import init_flux_int8
+
+        cfg = replace(TINY_FLUX, num_layers=3, num_single_layers=5)
+        p = init_flux_int8(jax.random.key(0), cfg, block_dtype=jnp.float32,
+                           repeat_blocks=True)
+        dual = p["transformer_blocks"]["stacked"]
+        single = p["single_transformer_blocks"]["stacked"]
+        assert all(x.shape[0] == 3 for x in jax.tree.leaves(dual))
+        assert all(x.shape[0] == 5 for x in jax.tree.leaves(single))
+        # quantized where big enough, and runnable end-to-end
+        from omgsr_tpu.diffusion.packing import latent_image_ids
+
+        img = jax.random.normal(jax.random.key(1), (1, 16, 64))
+        ctx = jax.random.normal(jax.random.key(2), (1, 5, cfg.joint_attention_dim))
+        pooled = jax.random.normal(jax.random.key(3), (1, cfg.pooled_projection_dim))
+        out = F.flux_apply(p, cfg, img, 0.5, 1.0, pooled, ctx,
+                           jnp.zeros((5, 3)), latent_image_ids(4, 4))
+        assert out.shape == (1, 16, 64)
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_pipeline_f_runs_quantized(self):
         from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
         from tests.test_models import TINY_FLUX_VAE
