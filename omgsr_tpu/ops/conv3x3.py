@@ -1,0 +1,98 @@
+"""Pallas 3x3 SAME conv for the VAE decoder's large-spatial stages.
+
+Motivation (measured, CLAUDE.md perf notes): the composed decode at 1024 px
+runs at ~25% MFU through XLA's conv lowering, and the JAX-level rewrites
+(im2col patches / 9 shifted einsums) LOSE to the native conv — the only
+remaining lever is a hand kernel. This kernel computes the conv as 9
+accumulated (rows*cols, C_in) x (C_in, C_out) MXU dots over row-stripes of
+the (pre-padded) input, DMA-ing each stripe's halo window from HBM into
+VMEM, with an optional fused bias + SiLU epilogue (the elementwise ops that
+follow every decoder conv).
+
+Shapes: NHWC with C_in/C_out multiples of 128 (the decoder's 128/256/512
+channel stages). Batch 1 per kernel call (vmapped outside if needed).
+
+Reference behavior: torch.nn.Conv2d(3x3, padding=1) as used throughout
+diffusers' VAE decoder (the reference runs it via infer/omgsr_s_infer_model
+-> AutoencoderKL); numerics match ops tested in tests/test_conv3x3.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_hbm, w_ref, b_ref, o_ref, x_vmem, sem, *, bh, width, cin, cout, act):
+    i = pl.program_id(0)
+    # halo window: padded rows [i*bh, i*bh + bh + 2), all padded cols
+    dma = pltpu.make_async_copy(
+        x_hbm.at[0, pl.ds(i * bh, bh + 2)], x_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = x_vmem[dy : dy + bh, dx : dx + width, :]  # (bh, W, Cin)
+            d = jax.lax.dot_general(
+                xs,
+                w_ref[dy, dx],  # (Cin, Cout)
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bh, W, Cout)
+            acc = d if acc is None else acc + d
+    y = acc + b_ref[0].astype(jnp.float32)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "bh"))
+def conv3x3_pallas(x, w, b, act: str = "none", bh: int = 8):
+    """x (1, H, W, C_in) NHWC, w (3, 3, C_in, C_out) HWIO, b (C_out,).
+    SAME padding, stride 1. act: "none" | "silu" (fused epilogue).
+    Requires H % bh == 0 and C_in, C_out multiples of 128."""
+    n, h, width, cin = x.shape
+    cout = w.shape[-1]
+    assert n == 1 and h % bh == 0, (n, h, bh)
+    # conv halo pad (1 px) + right-pad the column dim to a 32-multiple:
+    # Mosaic requires DMA slice shapes aligned to the sublane tiling
+    align_pad = (-(width + 2)) % 32
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + align_pad), (0, 0)))
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, bh=bh, width=width, cin=cin, cout=cout, act=act
+        ),
+        grid=(h // bh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # padded input stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, C_out)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bh, width, cout), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, h, width, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, width + 2 + align_pad, cin), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xp, w.astype(x.dtype), b.reshape(1, cout).astype(x.dtype))
+
+
+def conv3x3_reference(x, w, b, act: str = "none"):
+    """XLA-native equivalent (for parity tests and the A/B baseline)."""
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b.astype(x.dtype)
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(y.dtype)
+    return y
