@@ -121,8 +121,11 @@ def _flux_tp_spec(keys: tuple, shape: tuple):
         spec = [None] * nd
         spec[-1] = "tp"
         return P(*spec)
-    if leaf == "bias":
-        return P()  # row-parallel bias is added once, post-collective
+    if leaf in ("bias", "kernel_scale"):
+        # row-parallel bias is added once post-collective; int8 per-out
+        # -channel scales (utils.quantize) have no "in" dim — every shard
+        # dequantizes with the full scale vector
+        return P()
     spec = [None] * nd
     spec[-2] = "tp"  # kernel (.., in, out): shard the in dim
     return P(*spec)

@@ -73,6 +73,41 @@ def test_tp_sharded_pipeline_matches_replicated():
     assert outp and all("tp" in s for s in outp), outp
 
 
+def test_tp_sharded_int8_pipeline_matches_replicated():
+    """TP composes with weight-only int8 (the multi-chip quantized serving
+    path): column shards carry "tp" on kernel_q AND kernel_scale, row shards
+    replicate the scale (it has no "in" dim), outputs match replicated."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+    from omgsr_tpu.utils.quantize import quantize_tree_int8
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = quantize_tree_int8(F.init_flux(jax.random.key(1), TINY_FLUX), min_params=1 << 6)
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe_ref = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe_ref(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    mesh = create_mesh({"data": 2, "tp": 2, "fsdp": 2})
+    pipe_tp = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    pipe_tp.shard_for_mesh(mesh, min_size=64, strategy="tp")
+    out = np.asarray(pipe_tp(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    import jax.tree_util as jtu
+
+    leaves = jtu.tree_leaves_with_path(pipe_tp.flux_params)
+    specs = {jtu.keystr(p): str(getattr(x.sharding, "spec", "")) for p, x in leaves}
+    q_col = [s for k, s in specs.items() if "to_q" in k and "kernel_q" in k]
+    scale_row = [s for k, s in specs.items() if "to_out" in k and "kernel_scale" in k]
+    assert q_col and all("tp" in s for s in q_col), q_col
+    assert scale_row and all("tp" not in s for s in scale_row), scale_row
+
+
 def test_tp_specs_unrolled_layout_ff_classification():
     """Unrolled (non-scanned) blocks carry numeric block indices in the key
     path; ff up/down classification must not collide with them (block '0'
