@@ -174,7 +174,9 @@ def main():
     _section("omgsr_f_1024_proxy3b_s_per_image", extras, primary, run_f_1024_proxy)
 
     # ---- section 4: full-scale -S LoRA-GAN train micro-step -----------------
-    def run_train_step():
+    def run_train(bs):
+        """s/step of the reference-recipe train micro-step at batch `bs`
+        (shared by section 4 [bs 1] and the opt-in bs-scaling section 7)."""
         from omgsr_tpu.config import TrainConfig
         from omgsr_tpu.lora import SD_TARGET_MODULES, init_lora_tree
         from omgsr_tpu.losses.discriminator import init_discriminator
@@ -183,7 +185,7 @@ def main():
         from omgsr_tpu.models.configs import CONVNEXT_SIZES
         from omgsr_tpu.training.trainer import TrainerS
 
-        cfg = TrainConfig(gradient_checkpointing=True)  # reference recipe defaults
+        cfg = TrainConfig(gradient_checkpointing=True, train_batch_size=bs)
         cn_cfg = CONVNEXT_SIZES["large"]
         kk = jax.random.split(jax.random.key(2), 4)
         backbone = CN.init_convnext(kk[0], cn_cfg, dtype=dtype)
@@ -211,13 +213,13 @@ def main():
 
         return _timed(
             train_micro,
-            lambda: {"lq": fresh((1, 512, 512, 3)), "hq": fresh((1, 512, 512, 3))},
+            lambda: {"lq": fresh((bs, 512, 512, 3)), "hq": fresh((bs, 512, 512, 3))},
             lambda loss: float(loss),
             iters=3,
         )
 
     if os.environ.get("OMGSR_BENCH_TRAIN", "1") == "1":
-        _section("train_s_512_s_per_step", extras, primary, run_train_step)
+        _section("train_s_512_s_per_step", extras, primary, lambda: run_train(1))
 
     # ---- section 5 (opt-in): -S 512->2048 x4 long-context protocol ----------
     # 49 latent-64 tiles + full-image VAE at 2048 px; the 2048 decode's mid
@@ -306,53 +308,12 @@ def main():
 
     # ---- section 7 (opt-in): train-step batch scaling ------------------------
     # OMGSR_BENCH_TRAIN_BS=<N> measures the full-scale -S train micro-step at
-    # batch N and reports seconds per step (imgs/s = N / value).
-    def run_train_bs(bs):
-        from omgsr_tpu.config import TrainConfig
-        from omgsr_tpu.lora import SD_TARGET_MODULES, init_lora_tree
-        from omgsr_tpu.losses.discriminator import init_discriminator
-        from omgsr_tpu.losses.dists import init_dists
-        from omgsr_tpu.models import convnext as CN
-        from omgsr_tpu.models.configs import CONVNEXT_SIZES
-        from omgsr_tpu.training.trainer import TrainerS
-
-        cfg = TrainConfig(gradient_checkpointing=True, train_batch_size=bs)
-        cn_cfg = CONVNEXT_SIZES["large"]
-        kk = jax.random.split(jax.random.key(4), 4)
-        backbone = CN.init_convnext(kk[0], cn_cfg, dtype=dtype)
-        frozen = {
-            "vae": vae_params,
-            "vae_cfg": SD21_VAE,
-            "unet": unet_params,
-            "unet_cfg": SD21_UNET,
-            "backbone": backbone,
-            "dists": init_dists(backbone, cn_cfg.dims),
-            "prompt_embeds": prompt_sd,
-        }
-        gen_lora = {
-            "vae_encoder": init_lora_tree(
-                kk[1], vae_params["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
-            ),
-            "denoiser": init_lora_tree(kk[2], unet_params, SD_TARGET_MODULES, cfg.unet_lora_rank),
-        }
-        disc = init_discriminator(kk[3], cn_cfg.dims[:3], cfg.resolution)
-        trainer = TrainerS(cfg, frozen, gen_lora, disc)
-
-        def train_micro(batch):
-            metrics, _ = trainer.train_step(batch, jax.random.key(5))
-            return metrics["loss_total_G"]
-
-        return _timed(
-            train_micro,
-            lambda: {"lq": fresh((bs, 512, 512, 3)), "hq": fresh((bs, 512, 512, 3))},
-            lambda loss: float(loss),
-            iters=3,
-        )
-
+    # batch N (same setup/seeds as section 4, so the numbers A/B cleanly) and
+    # reports seconds per step (imgs/s = N / value).
     bs_env = int(os.environ.get("OMGSR_BENCH_TRAIN_BS", "0"))
-    if bs_env > 1:
+    if bs_env >= 1:
         _section(f"train_s_512_bs{bs_env}_s_per_step", extras, primary,
-                 lambda: run_train_bs(bs_env))
+                 lambda: run_train(bs_env))
 
     # ---- section 8: FULL FLUX-12B int8 single-chip -F protocol --------------
     # The true 12B DiT (not the 3B proxy) with weight-only int8 compression

@@ -34,14 +34,27 @@ def _to_y(arr: np.ndarray) -> np.ndarray:
 
 
 def pair_by_stem(sr_paths: list[str], gt_paths: list[str]):
+    """Exact-stem pairing, plus a single-trailing-suffix fallback
+    (`name_out.png` -> `name.png`) that only fires when UNAMBIGUOUS — if two
+    SR files would strip to the same ground truth, both are reported missing
+    rather than silently scored against the wrong reference."""
     gt_by_stem = {os.path.splitext(os.path.basename(p))[0]: p for p in gt_paths}
-    pairs, missing = [], []
+    pairs, missing, fallback = [], [], {}
+    claimed = set()
     for sp in sorted(sr_paths):
         stem = os.path.splitext(os.path.basename(sp))[0]
-        # SR CLIs keep the input stem; also accept a single trailing suffix
-        # like `name_out` / `name_x4`
-        hit = gt_by_stem.get(stem) or gt_by_stem.get(stem.rsplit("_", 1)[0])
-        (pairs if hit else missing).append((sp, hit) if hit else sp)
+        hit = gt_by_stem.get(stem)
+        if hit:
+            pairs.append((sp, hit))
+            claimed.add(hit)
+        else:
+            fallback.setdefault(stem.rsplit("_", 1)[0], []).append(sp)
+    for base, sps in sorted(fallback.items()):
+        hit = gt_by_stem.get(base)
+        if hit and len(sps) == 1 and hit not in claimed:
+            pairs.append((sps[0], hit))
+        else:
+            missing.extend(sps)
     return pairs, missing
 
 
@@ -89,9 +102,14 @@ def main(args=None):
                         help="write per-image + summary metrics as JSON")
     args = parser.parse_args(args)
 
-    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+    # metric math is trivial; run it on the host CPU backend so every
+    # distinct image shape doesn't pay a (remote) accelerator compile
+    import jax
 
-    enable_compilation_cache()
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized (in-process use) — keep it
 
     pairs, missing = pair_by_stem(collect_paths(args.sr_dir), collect_paths(args.gt_dir))
     for m in missing:

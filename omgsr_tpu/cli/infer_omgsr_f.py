@@ -31,19 +31,29 @@ def build_pipeline(args, dtype):
     vae_cfg = vae_config_from_json(vae_dir)
     flux_cfg = flux_config_from_json(flux_dir)
     vae_params = port_diffusers_vae(vae_dir, cfg=vae_cfg, dtype=dtype)
-    flux_params = port_flux_transformer(flux_dir, cfg=flux_cfg, dtype=dtype)
+    import contextlib
+
+    # under --quantize int8 the DiT is ported, LoRA-merged, stacked and
+    # quantized entirely on the host CPU backend: the 12B bf16 tree
+    # (23.8 GB) must never touch the accelerator — only the int8 result
+    # (11.9 GB) is placed on device by quantize_flux_for_serving
+    stage_ctx = (
+        jax.default_device(jax.devices("cpu")[0])
+        if args.quantize == "int8"
+        else contextlib.nullcontext()
+    )
+    with stage_ctx:
+        flux_params = port_flux_transformer(flux_dir, cfg=flux_cfg, dtype=dtype)
+        if args.lora_path:
+            # reference adapter names: train/train_omgsr_f.py:150,176
+            flux_ad = os.path.join(args.lora_path, "flux_adapter")
+            if os.path.isdir(flux_ad):
+                flux_params = merge_lora(flux_params, load_adapter_dir(flux_ad))
     if args.lora_path:
-        # reference adapter names: train/train_omgsr_f.py:150,176
         vae_ad = os.path.join(args.lora_path, "vae_encoder_adapter")
-        flux_ad = os.path.join(args.lora_path, "flux_adapter")
         if os.path.isdir(vae_ad):
             vae_params["encoder"] = merge_lora(vae_params["encoder"], load_adapter_dir(vae_ad))
-        if os.path.isdir(flux_ad):
-            flux_params = merge_lora(flux_params, load_adapter_dir(flux_ad))
     if args.quantize == "int8":
-        # after LoRA merge: weight-only int8 storage halves the 12B DiT to
-        # 11.9 GB so it fits one 16 GB chip; staged through the host CPU
-        # backend so the device never holds the bf16 stacked copy
         from omgsr_tpu.utils.quantize import quantize_flux_for_serving
 
         flux_params = quantize_flux_for_serving(flux_params)

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from omgsr_tpu.utils.quantize import dequantize_kernel
+
 # ----------------------------------------------------------------------------
 # init helpers (torch-default-compatible: kaiming uniform, fan_in, a=sqrt(5))
 # ----------------------------------------------------------------------------
@@ -65,13 +67,10 @@ def init_rms_norm(dim: int, dtype=jnp.float32):
 
 
 def dense(p, x):
-    if "kernel" in p:
-        kernel = p["kernel"].astype(x.dtype)
-    else:
-        # weight-only int8 storage (utils.quantize): dequantize to the
-        # activation dtype at use; the matmul stays bf16 on the MXU
-        kernel = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)[..., None, :]
-    y = jnp.einsum("...i,io->...o", x, kernel)
+    # dequantize_kernel handles both plain and weight-only-int8 storage
+    # (utils.quantize): int8 kernels dequantize to the activation dtype at
+    # use; the matmul stays bf16 on the MXU
+    y = jnp.einsum("...i,io->...o", x, dequantize_kernel(p, x.dtype))
     if "lora_A" in p:
         # low-rank path: x @ A @ B (scaling 1.0, alpha==rank; see lora/lora.py)
         y = y + jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, p["lora_A"].astype(x.dtype)), p["lora_B"].astype(x.dtype))

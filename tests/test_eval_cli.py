@@ -66,6 +66,19 @@ def test_eval_unmatched_sr_skipped(folders, capsys):
     assert "orphan" in capsys.readouterr().out
 
 
+def test_eval_ambiguous_suffix_not_paired(folders, capsys):
+    """Two SR files that strip to the same GT stem must both be skipped, not
+    silently scored against the wrong reference."""
+    sr, gt, imgs = folders
+    _save(sr / "a_1.png", imgs["a"])
+    _save(sr / "a_2.png", imgs["a"])
+    summary = eval_sr.main(["--sr_dir", str(sr), "--gt_dir", str(gt)])
+    # a.png claims gt a exactly; a_1/a_2 are ambiguous fallbacks -> skipped
+    assert summary["n"] == 2
+    out = capsys.readouterr().out
+    assert "a_1" in out and "a_2" in out
+
+
 def test_eval_size_mismatch_raises(tmp_path):
     gt = tmp_path / "gt"
     sr = tmp_path / "sr"
