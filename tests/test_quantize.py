@@ -128,6 +128,26 @@ class TestTreeQuant:
         assert out.shape == (1, 16, 64)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_tiny_t5_quantized_output_close(self):
+        """Text towers route through layers.dense too — int8 applies to the
+        T5-XXL (4.7B) prompt encoder for free."""
+        from omgsr_tpu.models.configs import T5Config
+        from omgsr_tpu.models.t5 import init_t5_encoder, t5_encode
+
+        cfg = T5Config(
+            vocab_size=100, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+            num_heads=4, relative_attention_num_buckets=8,
+            relative_attention_max_distance=20,
+        )
+        params = init_t5_encoder(jax.random.key(0), cfg)
+        params_q = quantize_tree_int8(params, min_params=1 << 6)
+        ids = jnp.asarray([[5, 9, 14, 1, 0, 0]], jnp.int32)
+        mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+        full = t5_encode(params, cfg, ids, mask)
+        quant = t5_encode(params_q, cfg, ids, mask)
+        assert np.isfinite(np.asarray(quant)).all()
+        assert _rel(quant, full) < 0.05
+
     def test_pipeline_f_runs_quantized(self):
         from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
         from tests.test_models import TINY_FLUX_VAE
