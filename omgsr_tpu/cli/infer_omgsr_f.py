@@ -64,6 +64,8 @@ def build_pipeline(args, dtype):
         flux_cfg,
         mid_timestep=args.mid_timestep,
         guidance_scale=args.guidance_scale,
+        vae_tile=args.vae_tile,
+        vae_stats=args.vae_stats,
     )
 
 
@@ -117,6 +119,10 @@ def parse_args(argv=None):
     parser.add_argument("--guidance_scale", type=float, default=1.0)
     parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
                         help="int8: weight-only DiT compression (12B fits one 16 GB chip)")
+    parser.add_argument("--vae_tile", type=int, default=None,
+                        help="tile the VAE beyond this many pixels (vaehook equivalent; for 2K+ outputs)")
+    parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact"],
+                        help="tiled-VAE GroupNorm statistics: fast (downsampled estimate, one XLA graph) or exact (tile-accumulated global stats == untiled output)")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="same-bucket serving batch size (images per device call)")
     parser.add_argument("--size_bucket", type=int, default=64,

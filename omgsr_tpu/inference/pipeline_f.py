@@ -33,7 +33,17 @@ class OMGSRFPipeline:
         guidance_scale: float = 1.0,
         tile_batch: int | None = None,
         scan_blocks: bool = True,
+        vae_tile: int | None = None,
+        vae_stats: str = "fast",
     ):
+        """vae_tile / vae_stats mirror OMGSRSPipeline: when vae_tile is set,
+        the VAE encode/decode stream through overlap-padded tiles for 2-4K
+        images (vae_stats="fast" keeps one XLA graph with downsampled-stat
+        GroupNorm; "exact" op-streams with tile-accumulated global stats ==
+        full-image VAE to float tolerance, host-orchestrated around the
+        jitted tiled-DiT mid-section)."""
+        if vae_stats not in ("fast", "exact"):
+            raise ValueError(f"vae_stats must be 'fast' or 'exact', got {vae_stats!r}")
         if scan_blocks and "stacked" not in flux_params.get("transformer_blocks", {}):
             # scan over stacked block params: one compiled block body instead
             # of 57 unrolled copies (compile time for the 12B DiT)
@@ -46,26 +56,20 @@ class OMGSRFPipeline:
         self.sigma_t = flux_sigma_at_mid_timestep(mid_timestep)
         self.guidance_scale = guidance_scale
         self.tile_batch = tile_batch
+        self.vae_tile = vae_tile
+        self.vae_stats = vae_stats
         self._jitted = functools.partial(
             jax.jit, static_argnames=("tile_size", "tile_overlap", "sample_latent")
         )(self._forward)
+        self._jitted_mid = functools.partial(
+            jax.jit, static_argnames=("tile_size", "tile_overlap")
+        )(self._latent_mid)
 
-    def _forward(
-        self,
-        vae_params,
-        flux_params,
-        lq_img,
-        prompt_embeds,
-        pooled_prompt_embeds,
-        rng,
-        *,
-        tile_size: int,
-        tile_overlap: int,
-        sample_latent: bool,
+    def _latent_mid(
+        self, flux_params, z, prompt_embeds, pooled_prompt_embeds,
+        *, tile_size, tile_overlap,
     ):
-        z = vae.vae_encode(
-            vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
-        )
+        """latent -> x0 latent: tiled DiT velocity + Euler step to t=0."""
         txt_ids = jnp.zeros((prompt_embeds.shape[-2], 3), jnp.float32)
 
         def denoise(tiles):
@@ -91,8 +95,45 @@ class OMGSRFPipeline:
 
         v = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
         # Euler step to t=0: z + (0 - sigma_t) * v
-        z0 = z - self.sigma_t * v
-        img = vae.vae_decode(vae_params, self.vae_cfg, z0)
+        return z - self.sigma_t * v
+
+    def _forward(
+        self,
+        vae_params,
+        flux_params,
+        lq_img,
+        prompt_embeds,
+        pooled_prompt_embeds,
+        rng,
+        *,
+        tile_size: int,
+        tile_overlap: int,
+        sample_latent: bool,
+    ):
+        if self.vae_tile and min(lq_img.shape[1], lq_img.shape[2]) > self.vae_tile:
+            from omgsr_tpu.inference.tiled_vae import streaming_vae_encode
+
+            z = streaming_vae_encode(
+                vae_params, self.vae_cfg, lq_img, tile=self.vae_tile,
+                est_size=self.vae_tile,
+            )
+        else:
+            z = vae.vae_encode(
+                vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
+            )
+        z0 = self._latent_mid(
+            flux_params, z, prompt_embeds, pooled_prompt_embeds,
+            tile_size=tile_size, tile_overlap=tile_overlap,
+        )
+        lat_tile = self.vae_tile // self.vae_cfg.downscale if self.vae_tile else 0
+        if self.vae_tile and min(z0.shape[1], z0.shape[2]) > lat_tile:
+            from omgsr_tpu.inference.tiled_vae import streaming_vae_decode
+
+            img = streaming_vae_decode(
+                vae_params, self.vae_cfg, z0, tile=lat_tile, est_size=lat_tile
+            )
+        else:
+            img = vae.vae_decode(vae_params, self.vae_cfg, z0)
         return jnp.clip(img, -1.0, 1.0)
 
     def shard_for_mesh(self, mesh, min_size: int = 2**18, strategy: str = "fsdp"):
@@ -135,6 +176,25 @@ class OMGSRFPipeline:
         if rng is None:
             rng = jax.random.key(0)
             sample_latent = False
+        if (
+            self.vae_stats == "exact"
+            and self.vae_tile
+            and min(lq_img.shape[1], lq_img.shape[2]) > self.vae_tile
+        ):
+            # exact mode is host-orchestrated (op-streamed VAE around the
+            # jitted tiled-DiT mid-section) — see __init__ docstring
+            from omgsr_tpu.inference.tiled_vae import exact_vae_decode, exact_vae_encode
+
+            z = exact_vae_encode(
+                self.vae_params, self.vae_cfg, lq_img,
+                rng=rng if sample_latent else None, sample=sample_latent,
+            )
+            z0 = self._jitted_mid(
+                self.flux_params, z, prompt_embeds, pooled_prompt_embeds,
+                tile_size=tile_size, tile_overlap=tile_overlap,
+            )
+            img = exact_vae_decode(self.vae_params, self.vae_cfg, z0)
+            return jnp.clip(img, -1.0, 1.0)
         return self._jitted(
             self.vae_params,
             self.flux_params,

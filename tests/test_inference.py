@@ -219,3 +219,33 @@ class TestPipelineVAETile:
 
         with pytest.raises(ValueError):
             OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, vae_stats="bogus")
+
+    def test_f_streaming_vae_path_runs(self):
+        """OMGSRFPipeline(vae_tile=...) routes through the streaming tiled
+        VAE (the -F 2-4K serving path, mirroring -S)."""
+        vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+        fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+        tiled = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX, vae_tile=48)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 96, 96, 3)))
+        ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+        pooled = jax.random.normal(jax.random.key(4), (1, 8))
+        out = np.asarray(tiled(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+        assert out.shape == (1, 96, 96, 3)
+        assert np.isfinite(out).all()
+
+    def test_f_exact_vae_stats_equals_full_pipeline(self):
+        """-F vae_stats="exact" reproduces the full-image-VAE -F pipeline to
+        float tolerance (single-chip 2-4K exactness, FLUX 16-ch shift/scale
+        VAE included)."""
+        vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+        fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+        full = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+        exact = OMGSRFPipeline(
+            vp, fp, TINY_FLUX_VAE, TINY_FLUX, vae_tile=48, vae_stats="exact"
+        )
+        lq = jnp.tanh(jax.random.normal(jax.random.key(5), (1, 96, 96, 3)))
+        ctx = jax.random.normal(jax.random.key(6), (1, 5, 16))
+        pooled = jax.random.normal(jax.random.key(7), (1, 8))
+        a = np.asarray(full(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+        b = np.asarray(exact(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-3)
