@@ -42,8 +42,9 @@ class OMGSRFPipeline:
         GroupNorm; "exact" op-streams with tile-accumulated global stats ==
         full-image VAE to float tolerance, host-orchestrated around the
         jitted tiled-DiT mid-section)."""
-        if vae_stats not in ("fast", "exact"):
-            raise ValueError(f"vae_stats must be 'fast' or 'exact', got {vae_stats!r}")
+        from omgsr_tpu.inference.vae_routing import validate_vae_opts
+
+        validate_vae_opts(vae_tile, vae_stats, vae_cfg.downscale)
         if scan_blocks and "stacked" not in flux_params.get("transformer_blocks", {}):
             # scan over stacked block params: one compiled block body instead
             # of 57 unrolled copies (compile time for the 12B DiT)
@@ -110,30 +111,16 @@ class OMGSRFPipeline:
         tile_overlap: int,
         sample_latent: bool,
     ):
-        if self.vae_tile and min(lq_img.shape[1], lq_img.shape[2]) > self.vae_tile:
-            from omgsr_tpu.inference.tiled_vae import streaming_vae_encode
+        from omgsr_tpu.inference.vae_routing import routed_vae_decode, routed_vae_encode
 
-            z = streaming_vae_encode(
-                vae_params, self.vae_cfg, lq_img, tile=self.vae_tile,
-                est_size=self.vae_tile,
-            )
-        else:
-            z = vae.vae_encode(
-                vae_params, self.vae_cfg, lq_img, rng=rng if sample_latent else None
-            )
+        z = routed_vae_encode(
+            vae_params, self.vae_cfg, lq_img, self.vae_tile, rng, sample_latent
+        )
         z0 = self._latent_mid(
             flux_params, z, prompt_embeds, pooled_prompt_embeds,
             tile_size=tile_size, tile_overlap=tile_overlap,
         )
-        lat_tile = self.vae_tile // self.vae_cfg.downscale if self.vae_tile else 0
-        if self.vae_tile and min(z0.shape[1], z0.shape[2]) > lat_tile:
-            from omgsr_tpu.inference.tiled_vae import streaming_vae_decode
-
-            img = streaming_vae_decode(
-                vae_params, self.vae_cfg, z0, tile=lat_tile, est_size=lat_tile
-            )
-        else:
-            img = vae.vae_decode(vae_params, self.vae_cfg, z0)
+        img = routed_vae_decode(vae_params, self.vae_cfg, z0, self.vae_tile)
         return jnp.clip(img, -1.0, 1.0)
 
     def shard_for_mesh(self, mesh, min_size: int = 2**18, strategy: str = "fsdp"):
@@ -176,25 +163,19 @@ class OMGSRFPipeline:
         if rng is None:
             rng = jax.random.key(0)
             sample_latent = False
-        if (
-            self.vae_stats == "exact"
-            and self.vae_tile
-            and min(lq_img.shape[1], lq_img.shape[2]) > self.vae_tile
-        ):
+        from omgsr_tpu.inference.vae_routing import exact_one_step, wants_exact_path
+
+        if wants_exact_path(self.vae_stats, self.vae_tile, lq_img):
             # exact mode is host-orchestrated (op-streamed VAE around the
             # jitted tiled-DiT mid-section) — see __init__ docstring
-            from omgsr_tpu.inference.tiled_vae import exact_vae_decode, exact_vae_encode
-
-            z = exact_vae_encode(
+            return exact_one_step(
                 self.vae_params, self.vae_cfg, lq_img,
-                rng=rng if sample_latent else None, sample=sample_latent,
+                lambda z: self._jitted_mid(
+                    self.flux_params, z, prompt_embeds, pooled_prompt_embeds,
+                    tile_size=tile_size, tile_overlap=tile_overlap,
+                ),
+                rng, sample_latent,
             )
-            z0 = self._jitted_mid(
-                self.flux_params, z, prompt_embeds, pooled_prompt_embeds,
-                tile_size=tile_size, tile_overlap=tile_overlap,
-            )
-            img = exact_vae_decode(self.vae_params, self.vae_cfg, z0)
-            return jnp.clip(img, -1.0, 1.0)
         return self._jitted(
             self.vae_params,
             self.flux_params,

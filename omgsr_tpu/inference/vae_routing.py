@@ -1,0 +1,100 @@
+"""Shared VAE routing for the one-step pipelines.
+
+Both OMGSRSPipeline and OMGSRFPipeline offer the same three VAE execution
+modes (full-image / streaming-tiled fast-stats / exact-tiled); this module
+holds the routing, option validation, and batch handling ONCE so the two
+pipelines cannot drift (the reference duplicates its vaehook wiring per
+infer model, infer/omgsr_s_infer_model.py:34-54 vs omgsr_f_infer_model.py).
+
+Batch handling: the streaming tiled VAE processes one image at a time
+(bounded memory is the point); batched inputs — the --batch_size serving
+path — are looped per image inside the jitted graph (static unroll) with a
+folded PRNG per image, instead of crashing on the batch-1 assert.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from omgsr_tpu.models import vae as vae_mod
+
+
+def validate_vae_opts(vae_tile, vae_stats: str, downscale: int) -> None:
+    """Raise early on option combinations that would silently corrupt output
+    or crash at trace time: the streaming grid aligns tile offsets to the
+    VAE's total downscale factor, so a tile that is not a multiple of it
+    leaves unwritten bands in the latent; a tile below it makes the latent
+    tile size zero."""
+    if vae_stats not in ("fast", "exact"):
+        raise ValueError(f"vae_stats must be 'fast' or 'exact', got {vae_stats!r}")
+    if vae_tile is not None:
+        if vae_tile < downscale or vae_tile % downscale != 0:
+            raise ValueError(
+                f"vae_tile must be a positive multiple of the VAE downscale "
+                f"factor ({downscale}), got {vae_tile}"
+            )
+
+
+def _per_image(fn, x, rng):
+    """Apply fn(x_i, rng_i) per image and re-stack (rng folded per image so
+    batched sampling is not correlated across images)."""
+    if x.shape[0] == 1:
+        return fn(x, rng)
+    return jnp.concatenate(
+        [fn(x[i : i + 1], jax.random.fold_in(rng, i)) for i in range(x.shape[0])],
+        axis=0,
+    )
+
+
+def routed_vae_encode(params, cfg, x, vae_tile, rng, sample: bool):
+    """Full-image or streaming-tiled encode; forwards sampling semantics to
+    the streaming path too (note streaming draws the latent noise per tile —
+    documented in streaming_vae_encode)."""
+    if vae_tile and min(x.shape[1], x.shape[2]) > vae_tile:
+        from omgsr_tpu.inference.tiled_vae import streaming_vae_encode
+
+        return _per_image(
+            lambda xi, ri: streaming_vae_encode(
+                params, cfg, xi, rng=ri if sample else None, sample=sample,
+                tile=vae_tile, est_size=vae_tile,
+            ),
+            x, rng,
+        )
+    return vae_mod.vae_encode(params, cfg, x, rng=rng if sample else None)
+
+
+def routed_vae_decode(params, cfg, z, vae_tile):
+    lat_tile = vae_tile // cfg.downscale if vae_tile else 0
+    if vae_tile and min(z.shape[1], z.shape[2]) > lat_tile:
+        from omgsr_tpu.inference.tiled_vae import streaming_vae_decode
+
+        return _per_image(
+            lambda zi, _ri: streaming_vae_decode(
+                params, cfg, zi, tile=lat_tile, est_size=lat_tile
+            ),
+            z, jax.random.key(0),
+        )
+    return vae_mod.vae_decode(params, cfg, z)
+
+
+def wants_exact_path(vae_stats: str, vae_tile, lq_img) -> bool:
+    return bool(
+        vae_stats == "exact"
+        and vae_tile
+        and min(lq_img.shape[1], lq_img.shape[2]) > vae_tile
+    )
+
+
+def exact_one_step(vae_params, cfg, lq_img, mid_fn, rng, sample: bool):
+    """Host-orchestrated exact mode: op-streamed VAE with tile-accumulated
+    global GroupNorm statistics around a jitted latent mid-section.
+    mid_fn(z) -> x0 latent."""
+    from omgsr_tpu.inference.tiled_vae import exact_vae_decode, exact_vae_encode
+
+    z = exact_vae_encode(
+        vae_params, cfg, lq_img, rng=rng if sample else None, sample=sample
+    )
+    z0 = mid_fn(z)
+    img = exact_vae_decode(vae_params, cfg, z0)
+    return jnp.clip(img, -1.0, 1.0)

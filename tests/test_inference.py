@@ -185,17 +185,47 @@ class TestPipelineVAETile:
     def test_streaming_vae_path_close_to_full(self):
         """vae_tile routes encode/decode through the streaming tiled VAE;
         with mean-sampling the result should stay close to the full-VAE path
-        (stats estimated at tile size)."""
+        (stats estimated at tile size). The 128-px image exceeds the
+        48 + 2*32 encode window, so the tile-grid scan actually runs
+        (a 96-px image would silently take the whole-input fallback)."""
         vp = V.init_vae(jax.random.key(0), TINY_VAE)
         up = U.init_unet(jax.random.key(1), TINY_UNET)
         full = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET)
         tiled = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, vae_tile=48)
-        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 96, 96, 3)))
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 128, 128, 3)))
         ctx = jax.random.normal(jax.random.key(3), (1, 7, 16))
         a = np.asarray(full(lq, ctx, tile_size=16, tile_overlap=8))
         b = np.asarray(tiled(lq, ctx, tile_size=16, tile_overlap=8))
         assert b.shape == a.shape
         assert np.isfinite(b).all()
+
+    def test_streaming_vae_batched_input(self):
+        """--batch_size serving + vae_tile: batched inputs stream per image
+        (previously the streaming VAE's batch-1 assert crashed) and each
+        image equals its own single-image run."""
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        tiled = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, vae_tile=48)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(6), (2, 128, 128, 3)))
+        ctx = jax.random.normal(jax.random.key(7), (1, 7, 16))
+        batched = np.asarray(tiled(lq, ctx, tile_size=16, tile_overlap=8))
+        singles = np.concatenate(
+            [np.asarray(tiled(lq[i : i + 1], ctx, tile_size=16, tile_overlap=8))
+             for i in range(2)]
+        )
+        np.testing.assert_allclose(batched, singles, atol=2e-4, rtol=1e-3)
+
+    def test_vae_tile_validation(self):
+        """vae_tile not aligned to the VAE downscale would leave unwritten
+        latent bands (silent corruption) — must be rejected up front."""
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        import pytest
+
+        with pytest.raises(ValueError, match="multiple of"):
+            OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, vae_tile=49)
+        with pytest.raises(ValueError, match="multiple of"):
+            OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET, vae_tile=1)
 
     def test_exact_vae_stats_equals_full_pipeline(self):
         """vae_stats=\"exact\" must reproduce the full-image-VAE pipeline to
@@ -222,15 +252,16 @@ class TestPipelineVAETile:
 
     def test_f_streaming_vae_path_runs(self):
         """OMGSRFPipeline(vae_tile=...) routes through the streaming tiled
-        VAE (the -F 2-4K serving path, mirroring -S)."""
+        VAE (the -F 2-4K serving path, mirroring -S). 128 px > the 48+2*32
+        encode window, so the tile-grid scan actually executes."""
         vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
         fp = F.init_flux(jax.random.key(1), TINY_FLUX)
         tiled = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX, vae_tile=48)
-        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 96, 96, 3)))
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 128, 128, 3)))
         ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
         pooled = jax.random.normal(jax.random.key(4), (1, 8))
         out = np.asarray(tiled(lq, ctx, pooled, tile_size=16, tile_overlap=8))
-        assert out.shape == (1, 96, 96, 3)
+        assert out.shape == (1, 128, 128, 3)
         assert np.isfinite(out).all()
 
     def test_f_exact_vae_stats_equals_full_pipeline(self):
