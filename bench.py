@@ -227,11 +227,10 @@ def main():
     # (XLA would materialize an 8.6 GB score matrix). Off by default to keep
     # driver bench time bounded; OMGSR_BENCH_2048=1 enables.
     def run_2048():
+        upscale_2048 = jax.jit(lambda x: resize(x, 2048, 2048, "bicubic"))
+
         def sr_512_to_2048(lq512):
-            return pipe(
-                jax.jit(lambda x: resize(x, 2048, 2048, "bicubic"))(lq512),
-                prompt_sd, tile_size=64, tile_overlap=32,
-            )
+            return pipe(upscale_2048(lq512), prompt_sd, tile_size=64, tile_overlap=32)
 
         return _timed(sr_512_to_2048, lambda: fresh((1, 512, 512, 3)), fence, iters=3)
 

@@ -258,11 +258,7 @@ def _op_conv(p, h, padding):
 
 @jax.jit
 def _op_downsample(p, h):
-    # diffusers Downsample2D: asymmetric pad (0,1) then stride-2 VALID conv
-    from omgsr_tpu.models.layers import conv2d
-
-    h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-    return conv2d(p, h, stride=2, padding="VALID")
+    return vae_mod.downsample_conv_2x(p, h)  # the ONE Downsample2D definition
 
 
 @jax.jit
@@ -314,15 +310,18 @@ def _tiled_gn_stats(h, groups, rows):
     b, height, width, c = h.shape
     denom = height * width * (c // groups)
     rows = max(min(rows, height), 1)
-    chunks = [h[:, i : min(i + rows, height)] for i in range(0, height, rows)]
+    # slice inside the loops so each chunk's device buffer frees after its
+    # partial sum — a pre-built chunk list would keep a full extra copy of
+    # the buffer alive across both passes (the memory this mode bounds)
+    starts = range(0, height, rows)
     s = None
-    for ch_ in chunks:
-        cs = _chunk_sum(ch_, groups)
+    for i in starts:
+        cs = _chunk_sum(h[:, i : min(i + rows, height)], groups)
         s = cs if s is None else _op_add(s, cs)
     mean = s / denom
     v = None
-    for ch_ in chunks:
-        cv = _chunk_sqdev(ch_, mean, groups)
+    for i in starts:
+        cv = _chunk_sqdev(h[:, i : min(i + rows, height)], mean, groups)
         v = cv if v is None else _op_add(v, cv)
     var = v / denom
     return mean, var
@@ -428,18 +427,13 @@ def exact_vae_encode(params, cfg, x, rng=None, sample: bool = False, stat_rows: 
     of the GroupNorm sweeps)."""
     moments = _exec_plan(_encoder_plan(params, cfg), x, stat_rows)
     z = vae_mod.sample_diagonal_gaussian(moments, rng, sample=sample and rng is not None)
-    if cfg.shift_factor is not None:
-        return (z - cfg.shift_factor) * cfg.scaling_factor
-    return z * cfg.scaling_factor
+    return vae_mod.scale_latent(cfg, z)
 
 
 def exact_vae_decode(params, cfg, z, stat_rows: int = 64, unscale: bool = True):
     """scaled latent (1,h,w,C) -> pixels with EXACT global GroupNorm."""
     if unscale:
-        if cfg.shift_factor is not None:
-            z = z / cfg.scaling_factor + cfg.shift_factor
-        else:
-            z = z / cfg.scaling_factor
+        z = vae_mod.unscale_latent(cfg, z)
     return _exec_plan(_decoder_plan(params, cfg), z, stat_rows)
 
 

@@ -194,15 +194,34 @@ def vae_encode_features(params, cfg: VAEConfig, x):
         for j in range(cfg.layers_per_block):
             h = _resnet(blk["resnets"][str(j)], h, g)
         if "downsamplers" in blk:
-            # diffusers Downsample2D: asymmetric pad (0,1) then stride-2 VALID conv
-            h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            h = conv2d(blk["downsamplers"]["0"]["conv"], h, stride=2, padding="VALID")
+            h = downsample_conv_2x(blk["downsamplers"]["0"]["conv"], h)
     h = _mid_block(p["mid_block"], h, g)
     h = _vae_group_norm_silu(p["conv_norm_out"], h, g)
     h = conv2d(p["conv_out"], h, padding=1)
     if "quant_conv" in params:
         h = conv2d(params["quant_conv"], h, padding=0)
     return h
+
+
+def scale_latent(cfg: VAEConfig, z):
+    """Raw VAE sample -> scaled latent. SD: z*s; FLUX: (z-shift)*s. The ONE
+    definition (shared with the exact tiled mode, inference/tiled_vae.py)."""
+    if cfg.shift_factor is not None:
+        return (z - cfg.shift_factor) * cfg.scaling_factor
+    return z * cfg.scaling_factor
+
+
+def unscale_latent(cfg: VAEConfig, z):
+    """Scaled latent -> raw decoder input (inverse of scale_latent)."""
+    if cfg.shift_factor is not None:
+        return z / cfg.scaling_factor + cfg.shift_factor
+    return z / cfg.scaling_factor
+
+
+def downsample_conv_2x(p, h):
+    """diffusers Downsample2D: asymmetric pad (0,1) then stride-2 VALID conv."""
+    h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return conv2d(p, h, stride=2, padding="VALID")
 
 
 def sample_diagonal_gaussian(moments, rng, sample: bool = True):
@@ -224,21 +243,14 @@ def vae_encode(params, cfg: VAEConfig, x, rng=None, sample: bool = True):
     """
     moments = vae_encode_features(params, cfg, x)
     z = sample_diagonal_gaussian(moments, rng, sample=sample and rng is not None)
-    if cfg.shift_factor is not None:
-        z = (z - cfg.shift_factor) * cfg.scaling_factor
-    else:
-        z = z * cfg.scaling_factor
-    return z
+    return scale_latent(cfg, z)
 
 
 def vae_decode(params, cfg: VAEConfig, z, unscale: bool = True):
     """scaled latent -> pixels in [-1,1] (un-clamped; callers clamp,
     matching train/train_omgsr_s.py:435)."""
     if unscale:
-        if cfg.shift_factor is not None:
-            z = z / cfg.scaling_factor + cfg.shift_factor
-        else:
-            z = z / cfg.scaling_factor
+        z = unscale_latent(cfg, z)
     if "post_quant_conv" in params:
         z = conv2d(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
