@@ -38,7 +38,15 @@ def pair_by_stem(sr_paths: list[str], gt_paths: list[str]):
     (`name_out.png` -> `name.png`) that only fires when UNAMBIGUOUS — if two
     SR files would strip to the same ground truth, both are reported missing
     rather than silently scored against the wrong reference."""
-    gt_by_stem = {os.path.splitext(os.path.basename(p))[0]: p for p in gt_paths}
+    gt_by_stem: dict[str, str] = {}
+    for p in gt_paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if stem in gt_by_stem and gt_by_stem[stem] != p:
+            raise ValueError(
+                f"duplicate ground-truth stem {stem!r}: {gt_by_stem[stem]} vs {p} "
+                "— pass disjoint --gt_dir trees or rename"
+            )
+        gt_by_stem[stem] = p
     pairs, missing, fallback = [], [], {}
     claimed = set()
     for sp in sorted(sr_paths):

@@ -81,7 +81,8 @@ def main(args=None):
         prompt_embeds = d["prompt_embeds"].astype(dtype)
         pooled = d["pooled_prompt_embeds"].astype(dtype)
     else:
-        prompt_embeds, pooled, _ = encode_prompt_flux(args.flux_path, args.prompt, dtype=dtype)
+        prompt = " ".join(args.prompt) if isinstance(args.prompt, list) else args.prompt
+        prompt_embeds, pooled, _ = encode_prompt_flux(args.flux_path, prompt, dtype=dtype)
 
     pipe = build_pipeline(args, dtype)
     image_names = collect_images(args.input_image)
@@ -113,7 +114,9 @@ def parse_args(argv=None):
     parser.add_argument("--upscale", type=int, default=4)
     parser.add_argument("--align_method", type=str, default="adain", choices=["wavelet", "adain", "nofix"])
     parser.add_argument("--weight_dtype", type=str, default="bf16", choices=["fp32", "fp16", "bf16"])
-    parser.add_argument("--prompt", type=str, default="")
+    # reference parity: --prompt accepts multiple tokens (nargs="+" upstream);
+    # joined into one prompt (see infer_omgsr_s.py note)
+    parser.add_argument("--prompt", type=str, nargs="*", default="")
     parser.add_argument("--prompt_npz", type=str, default=None)
     parser.add_argument("--mid_timestep", type=int, default=244)
     parser.add_argument("--guidance_scale", type=float, default=1.0)
@@ -121,7 +124,7 @@ def parse_args(argv=None):
                         help="int8: weight-only DiT compression (12B fits one 16 GB chip)")
     parser.add_argument("--vae_tile", type=int, default=None,
                         help="tile the VAE beyond this many pixels (vaehook equivalent; for 2K+ outputs)")
-    parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact"],
+    parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact", "auto"],
                         help="tiled-VAE GroupNorm statistics: fast (downsampled estimate, one XLA graph) or exact (tile-accumulated global stats == untiled output)")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="same-bucket serving batch size (images per device call)")

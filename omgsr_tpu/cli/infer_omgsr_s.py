@@ -84,7 +84,8 @@ def main(args=None):
     if args.prompt_npz:
         prompt_embeds = load_prompt_npz(args.prompt_npz)["prompt_embeds"].astype(dtype)
     else:
-        prompt_embeds = encode_prompt_sd(args.sd_path, args.prompt, dtype)
+        prompt = " ".join(args.prompt) if isinstance(args.prompt, list) else args.prompt
+        prompt_embeds = encode_prompt_sd(args.sd_path, prompt, dtype)
 
     pipe = build_pipeline(args, dtype)
     image_names = collect_images(args.input_image)
@@ -116,12 +117,16 @@ def parse_args(argv=None):
     parser.add_argument("--upscale", type=int, default=4)
     parser.add_argument("--align_method", type=str, default="adain", choices=["wavelet", "adain", "nofix"])
     parser.add_argument("--weight_dtype", type=str, default="bf16", choices=["fp32", "fp16", "bf16"])
-    parser.add_argument("--prompt", type=str, default="")
+    # reference parity: infer/infer_omgsr_s.py:137 takes nargs="+" so an
+    # unquoted multi-word prompt parses; words are joined into ONE prompt here
+    # (the reference's list form feeds a concat'd embedding batch that breaks
+    # batch-1 SR downstream — joining is the usable semantics)
+    parser.add_argument("--prompt", type=str, nargs="*", default="")
     parser.add_argument("--prompt_npz", type=str, default=None, help="precomputed prompt embeddings (.npz)")
     parser.add_argument("--mid_timestep", type=int, default=273)
     parser.add_argument("--vae_tile", type=int, default=None,
                         help="tile the VAE beyond this many pixels (vaehook equivalent; for 2K+ outputs)")
-    parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact"],
+    parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact", "auto"],
                         help="tiled-VAE GroupNorm statistics: fast (downsampled estimate, one XLA graph) or exact (tile-accumulated global stats == untiled output)")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="same-bucket serving batch size (images per device call)")

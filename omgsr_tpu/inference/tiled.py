@@ -20,12 +20,16 @@ from omgsr_tpu.diffusion.tiling import gaussian_tile_weights, tile_grid_2d
 
 def auto_tile_batch(n: int, cap: int = 8) -> int:
     """Largest divisor of n in [2, cap] — a padding-free denoiser batch (the
-    9-tile 1024-px grid gets 3, the 49-tile 2048 grid gets 7). Falls back to
-    min(n, 4) (with padding) when n has no divisor in range, e.g. prime n."""
+    9-tile 1024-px grid gets 3, the 49-tile 2048 grid gets 7). When n has no
+    divisor in range (e.g. prime n), picks the candidate wasting the fewest
+    padded tiles, ties to the larger batch (n=13 -> tb 7, 1 pad tile — not
+    tb 4, 3 pad tiles)."""
+    if n <= 1:
+        return max(n, 1)
     for d in range(min(cap, n), 1, -1):
         if n % d == 0:
             return d
-    return min(n, 4)
+    return min(range(2, min(cap, n) + 1), key=lambda d: ((-n) % d, -d))
 
 
 def tiled_denoise(

@@ -51,6 +51,25 @@ from omgsr_tpu.models import vae as vae_mod
 ENCODER_PAD = 32  # pixels of context per tile side (vaehook.py:546)
 DECODER_PAD = 11  # latents of context per tile side
 
+# Fast-mode accuracy (measured 2026-08-17, pink-noise/1/f "natural-like"
+# latents, damped pretrained-like tiny VAE, decode; error relative to the
+# untiled output's dynamic range, WITH the nearest-resize + moment
+# -renormalization correction below — without it the same fixtures measure
+# ~10x worse, e.g. ratio 4: mean 0.21 / q99 1.12 uncorrected):
+#
+#   downsample ratio (max(h,w)/est)   mean rel err   q99 rel err
+#   1 (no downsample)                 0.0001         0.001
+#   2                                 0.010          0.05
+#   2.7                               0.013          0.08
+#   4                                 0.019          0.12
+#   6                                 0.035          0.23
+#   8                                 0.019          0.11
+#
+# stats="auto" escalates from fast to exact above this ratio (mean error
+# stays ~<2% below it; exact streaming costs only ~16% more wall-clock at
+# 2K on a v5e — CLAUDE.md perf notes):
+AUTO_EXACT_RATIO = 4.0
+
 
 # ----------------------------------------------------------------------------
 # GroupNorm stat capture / replay hooks
@@ -130,10 +149,24 @@ def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_de
     b, h, w, c = x.shape
     assert b == 1, "streaming VAE expects batch 1"
 
-    # pass 1: stats from a downsampled copy (vaehook fast mode, :714-735)
+    # pass 1: stats from a downsampled copy (vaehook fast mode, :714-735).
+    # Nearest resize keeps per-pixel value statistics (a linear filter
+    # low-passes away variance); the downsample still shifts the per-channel
+    # moments, so renormalize them back to the full image's and clamp to the
+    # full image's range (vaehook.py:723-731, the @Kahsolt correction).
     est_h = max(min(est_size, h) // 8 * 8, 8)
     est_w = max(min(est_size, w) // 8 * 8, 8)
-    small = jax.image.resize(x, (b, est_h, est_w, c), "linear")
+    small = jax.image.resize(x, (b, est_h, est_w, c), "nearest")
+    if (est_h, est_w) != (h, w):
+        x32 = x.astype(jnp.float32)
+        s32 = small.astype(jnp.float32)
+        mean_old = x32.mean(axis=(0, 1, 2))
+        std_old = x32.std(axis=(0, 1, 2))
+        mean_new = s32.mean(axis=(0, 1, 2))
+        std_new = jnp.maximum(s32.std(axis=(0, 1, 2)), 1e-6)
+        s32 = (s32 - mean_new) / std_new * std_old + mean_old
+        s32 = jnp.clip(s32, x32.min(), x32.max())
+        small = s32.astype(x.dtype)
     collect = _CollectHook()
     with _use_hook(collect):
         net(params, cfg, small)
@@ -209,15 +242,20 @@ def streaming_vae_encode(
     stats="fast": GroupNorm statistics estimated from a downsampled copy
     (vaehook fast mode). stats="exact": exact global statistics via the
     op-streamed plan (``exact_vae_encode``; tile/pad/est_size unused).
+    stats="auto": fast while the stat downsample ratio stays within the
+    measured-accurate regime (AUTO_EXACT_RATIO), exact beyond it.
 
     Sampling uses the mean if rng is None. NOTE the latent noise is drawn
     per-tile deterministically from tile content when sampling — pass
     rng=None (mean) for strict tile-order invariance.
     """
+    if stats == "auto":
+        ratio = max(x.shape[1], x.shape[2]) / est_size
+        stats = "fast" if ratio <= AUTO_EXACT_RATIO else "exact"
     if stats == "exact":
         return exact_vae_encode(params, cfg, x, rng=rng, sample=sample)
     if stats != "fast":
-        raise ValueError(f"stats must be 'fast' or 'exact', got {stats!r}")
+        raise ValueError(f"stats must be 'fast', 'exact' or 'auto', got {stats!r}")
     ds = cfg.downscale
 
     def net(p, c, xx):
@@ -232,10 +270,13 @@ def streaming_vae_decode(
 ):
     """scaled latent (1,h,w,C) -> pixels, bounded memory. See
     streaming_vae_encode for the ``stats`` option."""
+    if stats == "auto":
+        ratio = max(z.shape[1], z.shape[2]) / est_size
+        stats = "fast" if ratio <= AUTO_EXACT_RATIO else "exact"
     if stats == "exact":
         return exact_vae_decode(params, cfg, z)
     if stats != "fast":
-        raise ValueError(f"stats must be 'fast' or 'exact', got {stats!r}")
+        raise ValueError(f"stats must be 'fast', 'exact' or 'auto', got {stats!r}")
     ds = cfg.downscale
 
     def net(p, c, zz):

@@ -66,11 +66,31 @@ def init_rms_norm(dim: int, dtype=jnp.float32):
 # ----------------------------------------------------------------------------
 
 
+def _dense_w8a8(p, x):
+    """s8 x s8 -> s32 matmul on the MXU's double-rate int8 path.
+
+    Per-token symmetric activation quantization (row absmax / 127) against the
+    per-output-channel weight scale from utils.quantize. Inference-only: the
+    rounding is non-differentiable (training paths use weight-only storage,
+    which `dense` dequantizes instead)."""
+    x32 = x.astype(jnp.float32)
+    m = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6) / 127.0
+    qx = jnp.round(x32 / m).astype(jnp.int8)  # |x|/m <= 127 by construction
+    y = jnp.einsum(
+        "...i,io->...o", qx, p["kernel_q"], preferred_element_type=jnp.int32
+    )
+    return (y.astype(jnp.float32) * m * p["kernel_scale"]).astype(x.dtype)
+
+
 def dense(p, x):
     # dequantize_kernel handles both plain and weight-only-int8 storage
     # (utils.quantize): int8 kernels dequantize to the activation dtype at
-    # use; the matmul stays bf16 on the MXU
-    y = jnp.einsum("...i,io->...o", x, dequantize_kernel(p, x.dtype))
+    # use; the matmul stays bf16 on the MXU. An act_quant marker switches to
+    # the w8a8 int8-MXU path (serving only).
+    if "act_quant" in p:
+        y = _dense_w8a8(p, x)
+    else:
+        y = jnp.einsum("...i,io->...o", x, dequantize_kernel(p, x.dtype))
     if "lora_A" in p:
         # low-rank path: x @ A @ B (scaling 1.0, alpha==rank; see lora/lora.py)
         y = y + jnp.einsum("...r,ro->...o", jnp.einsum("...i,ir->...r", x, p["lora_A"].astype(x.dtype)), p["lora_B"].astype(x.dtype))

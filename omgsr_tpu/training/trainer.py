@@ -75,7 +75,7 @@ class BaseTrainer:
                 "opt": self.disc_tx.init(disc_params),
             },
         }
-        self._step_fn = jax.jit(self._train_step_with_frozen, donate_argnums=(0,))
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
 
     @property
     def _frozen_arrays(self):
@@ -90,49 +90,51 @@ class BaseTrainer:
             if not k.endswith("_cfg") and k != "dists"
         }
 
-    def _train_step_with_frozen(self, state, batch, rng, frozen_arrays):
-        prev = self.frozen
-        merged = dict(prev)
-        merged.update(frozen_arrays)
-        if "dists" in prev and "backbone" in frozen_arrays:
-            merged["dists"] = {**prev["dists"], "backbone": frozen_arrays["backbone"]}
-        self.frozen = merged
-        try:
-            return self._train_step(state, batch, rng)
-        finally:
-            self.frozen = prev
+    def _assemble_frozen(self, frozen_arrays):
+        """Rebuild the full frozen bundle from the explicit array argument
+        plus the static (non-array) pieces: *_cfg objects and the DISTS
+        channel list. No instance state is mutated; every array the traced
+        step touches flows through `frozen_arrays`."""
+        frozen = {k: v for k, v in self.frozen.items() if k.endswith("_cfg")}
+        frozen.update(frozen_arrays)
+        if "dists" in self.frozen and "backbone" in frozen_arrays:
+            frozen["dists"] = {
+                "backbone": frozen_arrays["backbone"],
+                "channels": self.frozen["dists"]["channels"],
+            }
+        return frozen
 
     # ---- model hooks -------------------------------------------------------
-    def encode_fixed(self, img, rng):
+    def encode_fixed(self, frozen, img, rng):
         raise NotImplementedError
 
-    def encode_lora(self, lora_vae_encoder, img, rng):
+    def encode_lora(self, frozen, lora_vae_encoder, img, rng):
         raise NotImplementedError
 
     def noisy_latent(self, hq_latent, noise):
         raise NotImplementedError
 
-    def one_step_pred(self, lora_denoiser, lq_latent):
+    def one_step_pred(self, frozen, lora_denoiser, lq_latent):
         raise NotImplementedError
 
     # ---- train step --------------------------------------------------------
-    def _gen_loss(self, lora, batch, rngs):
+    def _gen_loss(self, lora, batch, rngs, frozen, disc_params, disc_sn):
         cfg = self.cfg
         lq, hq = batch["lq"], batch["hq"]
-        hq_latent = self.encode_fixed(hq, rngs["hq"])
+        hq_latent = self.encode_fixed(frozen, hq, rngs["hq"])
         noise = jax.random.normal(rngs["noise"], hq_latent.shape, hq_latent.dtype)
         noisy = self.noisy_latent(hq_latent, noise)
-        lq_latent = self.encode_lora(lora["vae_encoder"], lq, rngs["lq"])
+        lq_latent = self.encode_lora(frozen, lora["vae_encoder"], lq, rngs["lq"])
 
         loss_lrr = mse_loss(noisy, lq_latent) * cfg.lambda_LRR
-        pred = self.one_step_pred(lora["denoiser"], lq_latent)
-        loss_dv3d = dists_loss(self.frozen["dists"], pred, hq) * cfg.lambda_Dv3D
+        pred = self.one_step_pred(frozen, lora["denoiser"], lq_latent)
+        loss_dv3d = dists_loss(frozen["dists"], pred, hq) * cfg.lambda_Dv3D
         loss_l1 = l1_loss(pred, hq) * cfg.lambda_L1
         loss_g, _ = discriminator_loss(
-            jax.lax.stop_gradient(self.frozen_disc_params),
-            self.frozen_sn,
+            jax.lax.stop_gradient(disc_params),
+            disc_sn,
             self.disc_meta,
-            self.frozen["backbone"],
+            frozen["backbone"],
             rngs["disc_g"],
             pred,
             for_G=True,
@@ -147,31 +149,29 @@ class BaseTrainer:
         }
         return total, (metrics, pred)
 
-    def _disc_loss(self, disc_params, sn, fake, real, rngs):
+    def _disc_loss(self, disc_params, sn, fake, real, rngs, frozen):
         cfg = self.cfg
         l_fake, sn = discriminator_loss(
-            disc_params, sn, self.disc_meta, self.frozen["backbone"],
+            disc_params, sn, self.disc_meta, frozen["backbone"],
             rngs["disc_fake"], fake, for_real=False,
         )
         l_real, sn = discriminator_loss(
-            disc_params, sn, self.disc_meta, self.frozen["backbone"],
+            disc_params, sn, self.disc_meta, frozen["backbone"],
             rngs["disc_real"], real, for_real=True,
         )
         total = l_fake * cfg.lambda_GAN + l_real * cfg.lambda_GAN
         return total, (sn, {"loss_D_fake": l_fake * cfg.lambda_GAN, "loss_D_real": l_real * cfg.lambda_GAN})
 
-    def _train_step(self, state, batch, rng):
+    def _train_step(self, state, batch, rng, frozen_arrays):
+        frozen = self._assemble_frozen(frozen_arrays)
         names = ["hq", "noise", "lq", "disc_g", "disc_fake", "disc_real"]
         keys = jax.random.split(rng, len(names))
         rngs = dict(zip(names, keys))
 
-        # expose disc params to the G loss without making them differentiable
-        self.frozen_disc_params = state["disc"]["params"]
-        self.frozen_sn = state["disc"]["sn"]
-
+        # disc params enter the G loss as explicit (stop-gradient'd) args
         (g_total, (g_metrics, pred)), g_grads = jax.value_and_grad(
             self._gen_loss, has_aux=True
-        )(state["gen"]["lora"], batch, rngs)
+        )(state["gen"]["lora"], batch, rngs, frozen, state["disc"]["params"], state["disc"]["sn"])
         g_updates, g_opt = self.gen_tx.update(
             g_grads, state["gen"]["opt"], state["gen"]["lora"]
         )
@@ -180,7 +180,7 @@ class BaseTrainer:
         fake = jax.lax.stop_gradient(pred)
         (d_total, (sn, d_metrics)), d_grads = jax.value_and_grad(
             self._disc_loss, has_aux=True
-        )(state["disc"]["params"], state["disc"]["sn"], fake, batch["hq"], rngs)
+        )(state["disc"]["params"], state["disc"]["sn"], fake, batch["hq"], rngs, frozen)
         d_updates, d_opt = self.disc_tx.update(
             d_grads, state["disc"]["opt"], state["disc"]["params"]
         )
@@ -213,32 +213,32 @@ class TrainerS(BaseTrainer):
         self.sqrt_1ma = math.sqrt(1 - a)
         super().__init__(cfg, frozen, gen_lora, disc_bundle)
 
-    def encode_fixed(self, img, rng):
-        return vae.vae_encode(self.frozen["vae"], self.frozen["vae_cfg"], img, rng)
+    def encode_fixed(self, frozen, img, rng):
+        return vae.vae_encode(frozen["vae"], frozen["vae_cfg"], img, rng)
 
-    def encode_lora(self, lora_enc, img, rng):
-        params = dict(self.frozen["vae"])
-        params["encoder"] = attach_lora(self.frozen["vae"]["encoder"], lora_enc)
+    def encode_lora(self, frozen, lora_enc, img, rng):
+        params = dict(frozen["vae"])
+        params["encoder"] = attach_lora(frozen["vae"]["encoder"], lora_enc)
         encode = vae.vae_encode
         if self.cfg.gradient_checkpointing:
             # lora_vae.enable_gradient_checkpointing parity
             # (train/train_omgsr_s.py:256-258)
             encode = jax.checkpoint(encode, static_argnums=(1,))
-        return encode(params, self.frozen["vae_cfg"], img, rng)
+        return encode(params, frozen["vae_cfg"], img, rng)
 
     def noisy_latent(self, hq_latent, noise):
         return self.sqrt_a * hq_latent + self.sqrt_1ma * noise
 
-    def one_step_pred(self, lora_unet, lq_latent):
-        unet_params = attach_lora(self.frozen["unet"], lora_unet)
+    def one_step_pred(self, frozen, lora_unet, lq_latent):
+        unet_params = attach_lora(frozen["unet"], lora_unet)
         apply = unet_sd.unet_apply
         if self.cfg.gradient_checkpointing:
             apply = jax.checkpoint(apply, static_argnums=(1,))
-        ctx = self.frozen["prompt_embeds"].astype(lq_latent.dtype)
+        ctx = frozen["prompt_embeds"].astype(lq_latent.dtype)
         ctx = jnp.broadcast_to(ctx, (lq_latent.shape[0],) + ctx.shape[-2:])
-        eps = apply(unet_params, self.frozen["unet_cfg"], lq_latent, self.cfg.mid_timestep, ctx)
+        eps = apply(unet_params, frozen["unet_cfg"], lq_latent, self.cfg.mid_timestep, ctx)
         x0 = (lq_latent - self.sqrt_1ma * eps) / self.sqrt_a
-        img = vae.vae_decode(self.frozen["vae"], self.frozen["vae_cfg"], x0)
+        img = vae.vae_decode(frozen["vae"], frozen["vae_cfg"], x0)
         return jnp.clip(img, -1.0, 1.0)
 
 
@@ -251,28 +251,28 @@ class TrainerF(BaseTrainer):
         self.sigma_t = flux_sigma_at_mid_timestep(cfg.mid_timestep)
         super().__init__(cfg, frozen, gen_lora, disc_bundle)
 
-    def encode_fixed(self, img, rng):
-        return vae.vae_encode(self.frozen["vae"], self.frozen["vae_cfg"], img, rng)
+    def encode_fixed(self, frozen, img, rng):
+        return vae.vae_encode(frozen["vae"], frozen["vae_cfg"], img, rng)
 
-    def encode_lora(self, lora_enc, img, rng):
-        params = dict(self.frozen["vae"])
-        params["encoder"] = attach_lora(self.frozen["vae"]["encoder"], lora_enc)
+    def encode_lora(self, frozen, lora_enc, img, rng):
+        params = dict(frozen["vae"])
+        params["encoder"] = attach_lora(frozen["vae"]["encoder"], lora_enc)
         encode = vae.vae_encode
         if self.cfg.gradient_checkpointing:
             encode = jax.checkpoint(encode, static_argnums=(1,))
-        return encode(params, self.frozen["vae_cfg"], img, rng)
+        return encode(params, frozen["vae_cfg"], img, rng)
 
     def noisy_latent(self, hq_latent, noise):
         return (1.0 - self.sigma_t) * hq_latent + self.sigma_t * noise
 
-    def one_step_pred(self, lora_flux, lq_latent):
-        flux_params = attach_lora(self.frozen["flux"], lora_flux)
+    def one_step_pred(self, frozen, lora_flux, lq_latent):
+        flux_params = attach_lora(frozen["flux"], lora_flux)
         b, h, w, c = lq_latent.shape
         packed = pack_latents(lq_latent)
         img_ids = latent_image_ids(h // 2, w // 2)
-        ctx = self.frozen["prompt_embeds"].astype(lq_latent.dtype)
+        ctx = frozen["prompt_embeds"].astype(lq_latent.dtype)
         ctx = jnp.broadcast_to(ctx, (b,) + ctx.shape[-2:])
-        pooled = self.frozen["pooled_prompt_embeds"].astype(lq_latent.dtype)
+        pooled = frozen["pooled_prompt_embeds"].astype(lq_latent.dtype)
         pooled = jnp.broadcast_to(pooled, (b,) + pooled.shape[-1:])
         txt_ids = jnp.zeros((ctx.shape[1], 3), jnp.float32)
 
@@ -280,10 +280,10 @@ class TrainerF(BaseTrainer):
         if self.cfg.gradient_checkpointing:
             apply = jax.checkpoint(apply, static_argnums=(1,))
         v = apply(
-            flux_params, self.frozen["flux_cfg"], packed, self.sigma_t, 1.0,
+            flux_params, frozen["flux_cfg"], packed, self.sigma_t, 1.0,
             pooled, ctx, txt_ids, img_ids,
         )
         z0 = packed - self.sigma_t * v
         z0 = unpack_latents(z0, h, w)
         # the -F reference decodes without clamping (train/train_omgsr_f.py:525)
-        return vae.vae_decode(self.frozen["vae"], self.frozen["vae_cfg"], z0)
+        return vae.vae_decode(frozen["vae"], frozen["vae_cfg"], z0)

@@ -39,16 +39,38 @@ def dequantize_kernel(p, dtype):
     """Materialize a (possibly quantized) kernel in `dtype`."""
     if "kernel" in p:
         return p["kernel"].astype(dtype)
-    return p["kernel_q"].astype(dtype) * p["kernel_scale"].astype(dtype)[..., None, :]
+    # multiply in f32 (the scale's native precision) before casting: casting
+    # the scale to bf16 first adds ~0.2-0.4% systematic per-channel error on
+    # top of int8 rounding. Under scan only one block's f32 copy is live.
+    w = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"][..., None, :]
+    return w.astype(dtype)
 
 
-def quantize_tree_int8(tree, min_params: int = 1 << 16):
+# Subtrees whose dense layers keep weight-only dequantization even under
+# act_quant=True: AdaLN/modulation and embedder matmuls see a sequence length
+# of 1 (negligible FLOPs — the int8 MXU buys nothing) and their outputs
+# (scale/shift/gate vectors) steer every token, so they stay in bf16 compute.
+W8A8_EXCLUDE = frozenset(
+    {"norm", "norm1", "norm1_context", "norm_out", "time_text_embed"}
+)
+
+
+def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False):
     """Replace every dense kernel (2-D, or 3-D scan-stacked) with at least
     `min_params` elements by int8 + scale. Conv kernels (4-D), norms, biases,
     embeddings and LoRA factors stay in their original dtype. Returns a new
-    tree; does not modify the input."""
-    if isinstance(tree, dict):
-        k = tree.get("kernel")
+    tree; does not modify the input.
+
+    act_quant=True additionally marks each quantized dense (outside
+    W8A8_EXCLUDE subtrees) with an `act_quant` flag leaf: `layers.dense` then
+    quantizes the activation per token and runs the matmul as s8 x s8 -> s32
+    on the MXU's double-rate int8 path (inference-only — the rounding is
+    non-differentiable; training uses weight-only storage)."""
+
+    def rec(node, excluded):
+        if not isinstance(node, dict):
+            return node
+        k = node.get("kernel")
         if (
             k is not None
             and hasattr(k, "ndim")
@@ -57,34 +79,53 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16):
             and jnp.issubdtype(jnp.asarray(k).dtype, jnp.floating)
         ):
             q, scale = quantize_kernel_int8(k)
-            out = {kk: vv for kk, vv in tree.items() if kk != "kernel"}
+            # recurse into the sibling values too (nested sub-dicts sharing a
+            # level with a large kernel must not silently stay unquantized)
+            out = {
+                kk: rec(vv, excluded or kk in W8A8_EXCLUDE)
+                for kk, vv in node.items()
+                if kk != "kernel"
+            }
             out["kernel_q"] = q
             out["kernel_scale"] = scale
+            if act_quant and not excluded:
+                # leading axis matches a scan-stacked kernel so lax.scan can
+                # slice the marker along with the rest of the block subtree
+                out["act_quant"] = jnp.zeros(
+                    (k.shape[0],) if k.ndim == 3 else (), jnp.int8
+                )
             return out
-        return {kk: quantize_tree_int8(vv, min_params) for kk, vv in tree.items()}
-    return tree
+        return {
+            kk: rec(vv, excluded or kk in W8A8_EXCLUDE) for kk, vv in node.items()
+        }
+
+    return rec(tree, False)
 
 
 def tree_bytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
-def quantize_flux_for_serving(flux_params):
+def quantize_flux_for_serving(flux_params, act_quant: bool = False):
     """Stack-then-quantize a (ported, LoRA-merged) FLUX tree on the host CPU
     backend and place only the int8 result on the default device — the
-    accelerator never holds the bf16 stacked copy (23.8 GB for 12B)."""
+    accelerator never holds the bf16 stacked copy (23.8 GB for 12B).
+    act_quant=True enables the w8a8 int8-MXU compute path (inference-only)."""
     from omgsr_tpu.models import flux as flux_mod
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         if "stacked" not in flux_params.get("transformer_blocks", {}):
             flux_params = flux_mod.stack_block_params(flux_params)
-        flux_params = quantize_tree_int8(flux_params)
+        flux_params = quantize_tree_int8(flux_params, act_quant=act_quant)
     dev = jax.devices()[0]
     return jax.tree.map(lambda x: jax.device_put(x, dev), flux_params)
 
 
-def init_flux_int8(key, cfg, block_dtype=jnp.bfloat16, repeat_blocks: bool = False):
+def init_flux_int8(
+    key, cfg, block_dtype=jnp.bfloat16, repeat_blocks: bool = False,
+    act_quant: bool = False,
+):
     """Initialize a FLUX param tree directly in int8-compressed form without
     ever materializing the full bf16 tree on the accelerator: blocks are
     initialized on the host CPU backend, quantized there, and only then
@@ -103,14 +144,14 @@ def init_flux_int8(key, cfg, block_dtype=jnp.bfloat16, repeat_blocks: bool = Fal
     if not repeat_blocks:
         with jax.default_device(cpu):
             params = flux_mod.init_flux(key, cfg, dtype=block_dtype)
-        return quantize_flux_for_serving(params)
+        return quantize_flux_for_serving(params, act_quant=act_quant)
 
     with jax.default_device(cpu):
         one = flux_mod.init_flux(
             key, replace(cfg, num_layers=1, num_single_layers=1), dtype=block_dtype
         )
         one = flux_mod.stack_block_params(one)
-        one = quantize_tree_int8(one)
+        one = quantize_tree_int8(one, act_quant=act_quant)
 
         def rep(n):
             return lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:])

@@ -148,6 +148,101 @@ class TestTreeQuant:
         assert np.isfinite(np.asarray(quant)).all()
         assert _rel(quant, full) < 0.05
 
+    def test_w8a8_exact_for_representable(self):
+        """Grid-representable weights AND activations -> the s8xs8->s32 path
+        reproduces the float matmul bit-exactly (scales in f32)."""
+        rng = np.random.default_rng(7)
+        w = (rng.integers(-127, 128, (32, 16)) / 127.0).astype(np.float32)
+        w[0, :] = 1.0  # pin each column's absmax to the grid edge
+        q, s = quantize_kernel_int8(jnp.asarray(w))
+        # activations: per-row scale m, x = m * ints, row absmax = 127*m
+        m = rng.uniform(0.5, 2.0, (4, 1)).astype(np.float32) / 127.0
+        xi = rng.integers(-127, 128, (4, 32)).astype(np.float32)
+        xi[:, 0] = 127.0
+        x = jnp.asarray(xi * m)
+        full = dense({"kernel": jnp.asarray(w)}, x)
+        w8a8 = dense(
+            {"kernel_q": q, "kernel_scale": s,
+             "act_quant": jnp.zeros((), jnp.int8)}, x
+        )
+        np.testing.assert_allclose(np.asarray(w8a8), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+    def test_w8a8_error_bounded_random(self):
+        rng = np.random.default_rng(8)
+        w = rng.normal(size=(256, 128)).astype(np.float32) * 0.02
+        x = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+        q, s = quantize_kernel_int8(jnp.asarray(w))
+        full = dense({"kernel": jnp.asarray(w)}, x)
+        w8a8 = dense(
+            {"kernel_q": q, "kernel_scale": s,
+             "act_quant": jnp.zeros((), jnp.int8)}, x
+        )
+        # measured: 0.0100 (weight-only alone is 0.0071) — act quant adds
+        # ~sqrt(2)x rounding noise on top, not a blow-up
+        assert _rel(w8a8, full) < 0.015
+
+    def test_act_quant_markers_respect_exclusions(self):
+        cfg = TINY_FLUX
+        params = F.stack_block_params(F.init_flux(jax.random.key(0), cfg))
+        q = quantize_tree_int8(params, min_params=1 << 6, act_quant=True)
+        dual = q["transformer_blocks"]["stacked"]
+        assert "act_quant" in dual["attn"]["to_q"]
+        assert "act_quant" in dual["ff"]["net"]["0"]["proj"]
+        # modulation / AdaLN denses stay weight-only (W8A8_EXCLUDE)
+        assert "act_quant" not in dual["norm1"]["linear"]
+        assert "kernel_q" in dual["norm1"]["linear"]
+        assert "act_quant" not in q["norm_out"]["linear"]
+        tte = q["time_text_embed"]["text_embedder"]["linear_1"]
+        assert "act_quant" not in tte
+        # stacked markers carry the scan axis
+        assert dual["attn"]["to_q"]["act_quant"].shape == (cfg.num_layers,)
+
+    def test_tiny_flux_w8a8_output_close(self):
+        cfg = TINY_FLUX
+        params = F.stack_block_params(F.init_flux(jax.random.key(0), cfg))
+        params_q = quantize_tree_int8(params, min_params=1 << 6, act_quant=True)
+
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.normal(size=(1, 16, 64)), jnp.float32)
+        txt = jnp.asarray(rng.normal(size=(1, 5, cfg.joint_attention_dim)), jnp.float32)
+        pooled = jnp.asarray(rng.normal(size=(1, cfg.pooled_projection_dim)), jnp.float32)
+        from omgsr_tpu.diffusion.packing import latent_image_ids
+
+        img_ids = latent_image_ids(4, 4)
+        txt_ids = jnp.zeros((5, 3))
+
+        def run(p):
+            return F.flux_apply(p, cfg, img, 0.5, 1.0, pooled, txt, txt_ids, img_ids)
+
+        full = run(params)
+        w8a8 = run(params_q)
+        assert np.isfinite(np.asarray(w8a8)).all()
+        assert _rel(w8a8, full) < 0.08
+
+    def test_pipeline_f_runs_w8a8(self):
+        from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
+        from tests.test_models import TINY_FLUX_VAE
+
+        vp = __import__("omgsr_tpu.models.vae", fromlist=["init_vae"]).init_vae(
+            jax.random.key(1), TINY_FLUX_VAE
+        )
+        fp_stacked = F.stack_block_params(F.init_flux(jax.random.key(2), TINY_FLUX))
+        fp_q = quantize_tree_int8(fp_stacked, min_params=1 << 6, act_quant=True)
+
+        rng = np.random.default_rng(10)
+        lq = jnp.asarray(np.tanh(rng.normal(size=(1, 32, 32, 3))), jnp.float32)
+        ctx = jnp.asarray(rng.normal(size=(1, 5, TINY_FLUX.joint_attention_dim)), jnp.float32)
+        pooled = jnp.asarray(rng.normal(size=(1, TINY_FLUX.pooled_projection_dim)), jnp.float32)
+
+        out_full = OMGSRFPipeline(vp, fp_stacked, TINY_FLUX_VAE, TINY_FLUX)(
+            lq, ctx, pooled, tile_size=16, tile_overlap=8
+        )
+        out_q = OMGSRFPipeline(vp, fp_q, TINY_FLUX_VAE, TINY_FLUX)(
+            lq, ctx, pooled, tile_size=16, tile_overlap=8
+        )
+        assert np.isfinite(np.asarray(out_q)).all()
+        assert _rel(out_q, out_full) < 0.12
+
     def test_pipeline_f_runs_quantized(self):
         from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
         from tests.test_models import TINY_FLUX_VAE
