@@ -6,6 +6,7 @@ from omgsr_tpu.lora.lora import (
     attach_lora,
     split_lora,
     merge_lora,
+    unstack_lora_tree,
     lora_param_count,
 )
 from omgsr_tpu.lora.adapter_io import save_adapter, load_adapter, import_peft_adapter

@@ -71,30 +71,45 @@ def path_matches_targets(module_path: str, targets) -> bool:
 def _iter_matched_kernels(params, targets):
     flat = flatten_dict(params)
     for path, leaf in flat.items():
-        if path[-1] != "kernel":
+        if path[-1] not in ("kernel", "kernel_q"):
             continue
-        module_path = ".".join(path[:-1])
+        # strip the scan-stack marker so suffix matching sees the module path
+        # (transformer_blocks.stacked.attn.to_q -> transformer_blocks.attn.to_q)
+        mkeys = tuple(k for k in path[:-1] if k != "stacked")
+        module_path = ".".join(mkeys)
         if path_matches_targets(module_path, targets):
-            yield path[:-1], leaf
+            stacked = "stacked" in path
+            yield path[:-1], leaf, stacked
 
 
 def init_lora_tree(key, params, targets, rank: int, dtype=None):
-    """Build a LoRA tree for every matched kernel in ``params``."""
+    """Build a LoRA tree for every matched kernel in ``params``.
+
+    Also covers scan-stacked layouts (a leading block axis on every kernel,
+    models.flux.stack_block_params) and int8-quantized frozen bases
+    (``kernel_q`` leaves, utils.quantize): LoRA factors get the same leading
+    axis so lax.scan slices them alongside the block params, and default to
+    bfloat16 when the base is int8 (training the adapters in the compute
+    dtype while the frozen base stays compressed)."""
     out = {}
     matched = list(_iter_matched_kernels(params, targets))
     if not matched:
         raise ValueError(f"no modules matched targets {targets}")
     keys = jax.random.split(key, len(matched))
-    for k, (mpath, kernel) in zip(keys, matched):
-        kdtype = dtype or kernel.dtype
-        if kernel.ndim == 2:  # dense (in, out)
-            in_dim, out_dim = kernel.shape
-            a = jax.random.normal(k, (in_dim, rank), kdtype) * (1.0 / rank)
-            b = jnp.zeros((rank, out_dim), kdtype)
-        elif kernel.ndim == 4:  # conv (kh, kw, in, out)
-            kh, kw, in_ch, out_ch = kernel.shape
-            a = jax.random.normal(k, (kh, kw, in_ch, rank), kdtype) * (1.0 / rank)
-            b = jnp.zeros((1, 1, rank, out_ch), kdtype)
+    for k, (mpath, kernel, stacked) in zip(keys, matched):
+        kdtype = dtype or (
+            jnp.bfloat16 if kernel.dtype == jnp.int8 else kernel.dtype
+        )
+        ndim = kernel.ndim - (1 if stacked else 0)
+        lead = (kernel.shape[0],) if stacked else ()
+        if ndim == 2:  # dense (in, out)
+            in_dim, out_dim = kernel.shape[-2:]
+            a = jax.random.normal(k, lead + (in_dim, rank), kdtype) * (1.0 / rank)
+            b = jnp.zeros(lead + (rank, out_dim), kdtype)
+        elif ndim == 4:  # conv (kh, kw, in, out)
+            kh, kw, in_ch, out_ch = kernel.shape[-4:]
+            a = jax.random.normal(k, lead + (kh, kw, in_ch, rank), kdtype) * (1.0 / rank)
+            b = jnp.zeros(lead + (1, 1, rank, out_ch), kdtype)
         else:
             raise ValueError(f"unsupported kernel ndim {kernel.ndim} at {mpath}")
         out[mpath + ("lora_A",)] = a
@@ -120,6 +135,8 @@ def split_lora(combined):
 def _merged_kernel(kernel, a, b):
     if kernel.ndim == 2:
         delta = a.astype(jnp.float32) @ b.astype(jnp.float32)
+    elif kernel.ndim == 3:  # scan-stacked dense (L, in, out)
+        delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32))
     else:
         delta = jnp.einsum("hwir,xyro->hwio", a.astype(jnp.float32), b.astype(jnp.float32))
     return (kernel.astype(jnp.float32) + delta).astype(kernel.dtype)
@@ -132,10 +149,37 @@ def merge_lora(base_params, lora_tree):
     lflat = flatten_dict(lora_tree)
     mpaths = {p[:-1] for p in lflat if p[-1] == "lora_A"}
     for mpath in mpaths:
+        if mpath + ("kernel",) not in flat and mpath + ("kernel_q",) in flat:
+            raise ValueError(
+                f"cannot merge LoRA into int8-quantized kernel at {'.'.join(mpath)}: "
+                "merge into the float base before quantize_tree_int8, or keep the "
+                "adapter attached (attach_lora applies it at run time)"
+            )
         flat[mpath + ("kernel",)] = _merged_kernel(
             flat[mpath + ("kernel",)], lflat[mpath + ("lora_A",)], lflat[mpath + ("lora_B",)]
         )
     return unflatten_dict(flat)
+
+
+def unstack_lora_tree(lora_tree):
+    """Convert a scan-stacked LoRA tree ({"stacked": subtree with a leading
+    block axis on every leaf}) into per-block indexed layout ({"0": ..},
+    matching the unstacked param tree and the adapter interchange format)."""
+    import numpy as np
+
+    def rec(node):
+        if not isinstance(node, dict):
+            return node
+        if tuple(node.keys()) == ("stacked",):
+            leaves = jax.tree.leaves(node["stacked"])
+            n = int(leaves[0].shape[0])
+            return {
+                str(i): jax.tree.map(lambda x: np.asarray(x)[i], node["stacked"])
+                for i in range(n)
+            }
+        return {k: rec(v) for k, v in node.items()}
+
+    return rec(lora_tree)
 
 
 def lora_param_count(lora_tree) -> int:

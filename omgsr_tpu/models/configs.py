@@ -92,6 +92,11 @@ class FluxConfig:
     axes_dims_rope: Sequence[int] = (16, 56, 56)
     rope_theta: int = 10000
     mlp_ratio: float = 4.0
+    # rematerialize each scanned block in the backward pass: peak residual
+    # memory drops from every block's internals (attention + 4x-wide MLP
+    # activations) to one carry per block — required to fit 12B training on
+    # one chip. Static config so jit specializes per mode.
+    remat_blocks: bool = False
 
     @property
     def inner_dim(self) -> int:

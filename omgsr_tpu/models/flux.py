@@ -310,7 +310,12 @@ def flux_apply(
     cos, sin = rope_cos_sin(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
     scanned = "stacked" in params["transformer_blocks"]
+    # per-block remat (cfg.remat_blocks): under reverse-mode AD the scan
+    # saves only each block's carry and recomputes the block body, instead
+    # of storing attention/MLP internals for all 19+38 blocks
+    ckpt = jax.checkpoint if cfg.remat_blocks else (lambda f: f)
     if scanned:
+        @ckpt
         def dual_body(carry, bp):
             i, t = carry
             i, t = _dual_block(bp, cfg, i, t, temb, cos, sin)
@@ -325,6 +330,7 @@ def flux_apply(
 
     x = jnp.concatenate([txt, img], axis=1)
     if scanned:
+        @ckpt
         def single_body(carry, bp):
             return _single_block(bp, cfg, carry, temb, cos, sin), None
 

@@ -80,9 +80,13 @@ def export_adapters(output_dir: str, step: int, gen_lora, cfg, adapter_names: di
         "vae_encoder": cfg.vae_lora_rank,
         "denoiser": cfg.flux_transformer_lora_rank if cfg.is_flux else cfg.unet_lora_rank,
     }
+    from omgsr_tpu.lora import unstack_lora_tree
+
     for part, name in adapter_names.items():
         save_adapter(
-            gen_lora[part],
+            # scan-stacked LoRA (int8-base 12B training) exports per-block
+            # indexed paths so adapters interchange with unstacked layouts
+            unstack_lora_tree(gen_lora[part]),
             os.path.join(weight_path, name),
             rank=ranks[part],
             targets=targets[part],

@@ -277,10 +277,20 @@ class TrainerF(BaseTrainer):
         txt_ids = jnp.zeros((ctx.shape[1], 3), jnp.float32)
 
         apply = flux_mod.flux_apply
+        flux_cfg = frozen["flux_cfg"]
         if self.cfg.gradient_checkpointing:
-            apply = jax.checkpoint(apply, static_argnums=(1,))
+            if "stacked" in flux_params.get("transformer_blocks", {}):
+                # scan-stacked layout: remat per block (cfg flag) instead of
+                # wrapping the whole apply — the inner scan would otherwise
+                # store every block's attention/MLP internals during the
+                # recomputed forward, defeating the checkpoint at 12B scale
+                from dataclasses import replace
+
+                flux_cfg = replace(flux_cfg, remat_blocks=True)
+            else:
+                apply = jax.checkpoint(apply, static_argnums=(1,))
         v = apply(
-            flux_params, frozen["flux_cfg"], packed, self.sigma_t, 1.0,
+            flux_params, flux_cfg, packed, self.sigma_t, 1.0,
             pooled, ctx, txt_ids, img_ids,
         )
         z0 = packed - self.sigma_t * v
