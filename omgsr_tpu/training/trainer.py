@@ -295,5 +295,10 @@ class TrainerF(BaseTrainer):
         )
         z0 = packed - self.sigma_t * v
         z0 = unpack_latents(z0, h, w)
+        decode = vae.vae_decode
+        if self.cfg.gradient_checkpointing:
+            # decode activations at 1024 px are ~GBs; remat so they are not
+            # held concurrently with the DiT's per-block carries
+            decode = jax.checkpoint(decode, static_argnums=(1,))
         # the -F reference decodes without clamping (train/train_omgsr_f.py:525)
-        return vae.vae_decode(frozen["vae"], frozen["vae_cfg"], z0)
+        return decode(frozen["vae"], frozen["vae_cfg"], z0)
