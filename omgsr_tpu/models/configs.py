@@ -26,6 +26,11 @@ class VAEConfig:
     use_quant_conv: bool = True
     use_post_quant_conv: bool = True
     mid_block_attention: bool = True
+    # rematerialize each resnet block in the backward pass: caps the decode
+    # /encode backward's f32 temp blow-up (each 1024px decoder GN/conv temp
+    # is 0.5 GB) at one block's working set + bf16 carries. Set by the
+    # trainers under gradient_checkpointing; inference paths ignore it.
+    remat_blocks: bool = False
 
     @property
     def downscale(self) -> int:

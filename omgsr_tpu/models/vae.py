@@ -188,11 +188,14 @@ def vae_encode_features(params, cfg: VAEConfig, x):
     p = params["encoder"]
     g = cfg.norm_num_groups
     h = conv2d(p["conv_in"], x, padding=1)
+    res = (
+        jax.checkpoint(_resnet, static_argnums=(2,)) if cfg.remat_blocks else _resnet
+    )
     n = len(cfg.block_out_channels)
     for i in range(n):
         blk = p["down_blocks"][str(i)]
         for j in range(cfg.layers_per_block):
-            h = _resnet(blk["resnets"][str(j)], h, g)
+            h = res(blk["resnets"][str(j)], h, g)
         if "downsamplers" in blk:
             h = downsample_conv_2x(blk["downsamplers"]["0"]["conv"], h)
     h = _mid_block(p["mid_block"], h, g)
@@ -257,11 +260,14 @@ def vae_decode(params, cfg: VAEConfig, z, unscale: bool = True):
     g = cfg.norm_num_groups
     h = conv2d(p["conv_in"], z, padding=1)
     h = _mid_block(p["mid_block"], h, g)
+    res = (
+        jax.checkpoint(_resnet, static_argnums=(2,)) if cfg.remat_blocks else _resnet
+    )
     n = len(cfg.block_out_channels)
     for i in range(n):
         blk = p["up_blocks"][str(i)]
         for j in range(cfg.layers_per_block + 1):
-            h = _resnet(blk["resnets"][str(j)], h, g)
+            h = res(blk["resnets"][str(j)], h, g)
         if "upsamplers" in blk:
             # phase-decomposed fused upsample+conv (layers.upsample_conv_2x):
             # identical output, 2.25x fewer FLOPs, no 2x tensor materialized

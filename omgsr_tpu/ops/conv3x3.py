@@ -87,6 +87,139 @@ def conv3x3_pallas(x, w, b, act: str = "none", bh: int = 8):
     )(xp, w.astype(x.dtype), b.reshape(1, cout).astype(x.dtype))
 
 
+def _kernel_rb(
+    x_hbm, w_ref, b_ref, aff_ref, skip_hbm, o_ref, ssum_ref, ssq_ref,
+    x_vmem, s_vmem, sem, sem2, *, bh, height, width, cin, cout, use_skip,
+    emit_stats,
+):
+    """Resblock-fused conv stripe: GN+SiLU prologue as per-channel affine
+    (zero padding preserved via masking), 9 MXU dots, bias + optional skip
+    epilogue, optional per-channel sum/sumsq emission of the output."""
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(x_hbm.at[0, pl.ds(i * bh, bh + 2)], x_vmem, sem)
+    dma.start()
+    if use_skip:
+        dma2 = pltpu.make_async_copy(skip_hbm.at[0, pl.ds(i * bh, bh)], s_vmem, sem2)
+        dma2.start()
+    dma.wait()
+
+    # prologue: silu(x*a + c) on the interior, zeros kept on the pad ring
+    # (the conv pads AFTER the activation in the reference graph)
+    a = aff_ref[0].astype(jnp.float32)
+    c = aff_ref[1].astype(jnp.float32)
+    xw = x_vmem[...].astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, xw.shape, 0) + i * bh
+    cols = jax.lax.broadcasted_iota(jnp.int32, xw.shape, 1)
+    valid = (
+        (rows >= 1) & (rows <= height) & (cols >= 1) & (cols <= width)
+    )
+    h = xw * a + c
+    h = h * jax.nn.sigmoid(h)
+    xa = jnp.where(valid, h, 0.0).astype(x_vmem.dtype)
+
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = xa[dy : dy + bh, dx : dx + width, :]
+            d = jax.lax.dot_general(
+                xs, w_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+    y = acc + b_ref[0].astype(jnp.float32)
+    if use_skip:
+        dma2.wait()
+        y = y + s_vmem[...].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+    if emit_stats:
+        ssum_ref[...] = jnp.sum(y, axis=(0, 1)).reshape(1, cout)
+        ssq_ref[...] = jnp.sum(y * y, axis=(0, 1)).reshape(1, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "emit_stats"))
+def conv3x3_gn_fused(x, w, b, gn_scale, gn_shift, skip=None, bh: int = 8,
+                     emit_stats: bool = True):
+    """Fused resblock half: y = conv3x3(silu(x * gn_scale + gn_shift)) + b
+    [+ skip], also returning per-row-stripe per-channel (sum, sumsq) of y
+    for the NEXT GroupNorm's statistics (E[x^2]-mean^2 form, f32 partials).
+
+    gn_scale/gn_shift fold the GroupNorm: scale = gamma * rsqrt(var + eps),
+    shift = beta - mean * scale (per channel). The conv's zero padding is
+    applied to the ACTIVATED tensor (masked prologue), matching the
+    reference op order GN -> SiLU -> pad -> conv.
+
+    Shapes as conv3x3_pallas; skip (1, H, W, C_out) optional.
+    Returns (y, ssum (H//bh, C_out) f32, ssq (H//bh, C_out) f32)."""
+    n, h, width, cin = x.shape
+    cout = w.shape[-1]
+    assert n == 1 and h % bh == 0, (n, h, bh)
+    align_pad = (-(width + 2)) % 32
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + align_pad), (0, 0)))
+    use_skip = skip is not None
+    if not use_skip:
+        skip = jnp.zeros((1, bh, width, cout), x.dtype)  # placeholder operand
+    aff = jnp.stack(
+        [gn_scale.astype(jnp.float32), gn_shift.astype(jnp.float32)]
+    )  # (2, C_in)
+
+    grid = h // bh
+    y, ssum, ssq = pl.pallas_call(
+        functools.partial(
+            _kernel_rb, bh=bh, height=h, width=width, cin=cin, cout=cout,
+            use_skip=use_skip, emit_stats=emit_stats,
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # padded input (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, C_out)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gn affine (2, C_in)
+            pl.BlockSpec(memory_space=pl.ANY),  # skip (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, bh, width, cout), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, h, width, cout), x.dtype),
+            jax.ShapeDtypeStruct((grid, cout), jnp.float32),
+            jax.ShapeDtypeStruct((grid, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, width + 2 + align_pad, cin), x.dtype),
+            pltpu.VMEM((bh, width, cout), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xp, w.astype(x.dtype), b.reshape(1, cout).astype(x.dtype), aff, skip)
+    return y, ssum, ssq
+
+
+def gn_affine_from_channel_sums(ssum, ssq, hw: int, groups: int, gamma, beta,
+                                eps: float = 1e-6):
+    """Fold streamed per-channel (sum, sumsq) into the next conv's prologue
+    affine: group mean/var (E[x^2]-mean^2, f32), then per-channel
+    scale = gamma * rsqrt(var+eps), shift = beta - mean * scale."""
+    c = ssum.shape[-1]
+    per = c // groups
+    s = ssum.sum(0).reshape(groups, per).sum(-1)
+    q = ssq.sum(0).reshape(groups, per).sum(-1)
+    cnt = hw * per
+    mean = s / cnt
+    var = jnp.maximum(q / cnt - mean * mean, 0.0)
+    scale_g = jax.lax.rsqrt(var + eps)
+    scale = jnp.repeat(scale_g, per) * gamma.astype(jnp.float32)
+    shift = beta.astype(jnp.float32) - jnp.repeat(mean, per) * (
+        jnp.repeat(scale_g, per) * gamma.astype(jnp.float32)
+    )
+    return scale, shift
+
+
 def conv3x3_reference(x, w, b, act: str = "none"):
     """XLA-native equivalent (for parity tests and the A/B baseline)."""
     y = jax.lax.conv_general_dilated(

@@ -115,6 +115,8 @@ def _flux_tp_spec(keys: tuple, shape: tuple):
     if not (col or row):
         return None  # norms, modulation dense, rms scales: replicated
     leaf = keys[-1]
+    if leaf == "act_quant":
+        return P()  # w8a8 marker: a tiny flag leaf, always replicated
     nd = len(shape)
     if col:
         # kernel (.., in, out) / bias (.., out): shard the out (last) dim

@@ -53,6 +53,17 @@ def mse_loss(a, b):
     return (d * d).mean()
 
 
+def _vae_cfg_for_grad(cfg, vae_cfg):
+    """VAE config for the differentiated path: per-resblock remat under
+    gradient checkpointing (the 1024px decode backward otherwise holds
+    ~0.5 GB f32 temps per GN/conv — see VAEConfig.remat_blocks)."""
+    if not cfg.gradient_checkpointing:
+        return vae_cfg
+    from dataclasses import replace
+
+    return replace(vae_cfg, remat_blocks=True)
+
+
 class BaseTrainer:
     """Shared G/D optimization skeleton; subclasses provide encode/predict."""
 
@@ -128,16 +139,26 @@ class BaseTrainer:
 
         loss_lrr = mse_loss(noisy, lq_latent) * cfg.lambda_LRR
         pred = self.one_step_pred(frozen, lora["denoiser"], lq_latent)
-        loss_dv3d = dists_loss(frozen["dists"], pred, hq) * cfg.lambda_Dv3D
+        meta = self.disc_meta
+
+        def disc_g(dp, sn, bb, rng, x):
+            return discriminator_loss(dp, sn, meta, bb, rng, x, for_G=True)
+
+        dists_fn = dists_loss
+        if cfg.gradient_checkpointing:
+            # the ConvNeXt-L feature pyramids at 1024 px (DISTS + GAN-G) are
+            # ~GBs of residuals; remat them rather than hold them across the
+            # denoiser's backward
+            dists_fn = jax.checkpoint(dists_loss)
+            disc_g = jax.checkpoint(disc_g)
+        loss_dv3d = dists_fn(frozen["dists"], pred, hq) * cfg.lambda_Dv3D
         loss_l1 = l1_loss(pred, hq) * cfg.lambda_L1
-        loss_g, _ = discriminator_loss(
+        loss_g, _ = disc_g(
             jax.lax.stop_gradient(disc_params),
             disc_sn,
-            self.disc_meta,
             frozen["backbone"],
             rngs["disc_g"],
             pred,
-            for_G=True,
         )
         loss_g = loss_g * cfg.lambda_GAN
         total = loss_lrr + loss_dv3d + loss_l1 + loss_g
@@ -224,7 +245,7 @@ class TrainerS(BaseTrainer):
             # lora_vae.enable_gradient_checkpointing parity
             # (train/train_omgsr_s.py:256-258)
             encode = jax.checkpoint(encode, static_argnums=(1,))
-        return encode(params, frozen["vae_cfg"], img, rng)
+        return encode(params, _vae_cfg_for_grad(self.cfg, frozen["vae_cfg"]), img, rng)
 
     def noisy_latent(self, hq_latent, noise):
         return self.sqrt_a * hq_latent + self.sqrt_1ma * noise
@@ -238,7 +259,8 @@ class TrainerS(BaseTrainer):
         ctx = jnp.broadcast_to(ctx, (lq_latent.shape[0],) + ctx.shape[-2:])
         eps = apply(unet_params, frozen["unet_cfg"], lq_latent, self.cfg.mid_timestep, ctx)
         x0 = (lq_latent - self.sqrt_1ma * eps) / self.sqrt_a
-        img = vae.vae_decode(frozen["vae"], frozen["vae_cfg"], x0)
+        dec_cfg = _vae_cfg_for_grad(self.cfg, frozen["vae_cfg"])
+        img = vae.vae_decode(frozen["vae"], dec_cfg, x0)
         return jnp.clip(img, -1.0, 1.0)
 
 
@@ -260,7 +282,7 @@ class TrainerF(BaseTrainer):
         encode = vae.vae_encode
         if self.cfg.gradient_checkpointing:
             encode = jax.checkpoint(encode, static_argnums=(1,))
-        return encode(params, frozen["vae_cfg"], img, rng)
+        return encode(params, _vae_cfg_for_grad(self.cfg, frozen["vae_cfg"]), img, rng)
 
     def noisy_latent(self, hq_latent, noise):
         return (1.0 - self.sigma_t) * hq_latent + self.sigma_t * noise
@@ -301,4 +323,4 @@ class TrainerF(BaseTrainer):
             # held concurrently with the DiT's per-block carries
             decode = jax.checkpoint(decode, static_argnums=(1,))
         # the -F reference decodes without clamping (train/train_omgsr_f.py:525)
-        return decode(frozen["vae"], frozen["vae_cfg"], z0)
+        return decode(frozen["vae"], _vae_cfg_for_grad(self.cfg, frozen["vae_cfg"]), z0)

@@ -67,7 +67,11 @@ class TestTiledDenoise:
         assert auto_tile_batch(49) == 7
         assert auto_tile_batch(16) == 8
         assert auto_tile_batch(4) == 4
-        assert auto_tile_batch(13) == 4  # prime: padded fallback
+        # prime: padded fallback picks the least-waste batch (13 -> tb 7
+        # pads 1 tile; the old hardcoded 4 padded 3)
+        assert auto_tile_batch(13) == 7
+        assert auto_tile_batch(11) == 6  # 11 -> 6 pads 1; ties to larger tb
+        assert auto_tile_batch(5) == 5  # n <= cap is its own divisor
         assert auto_tile_batch(2) == 2
         assert auto_tile_batch(1) == 1
 

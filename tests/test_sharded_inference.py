@@ -141,3 +141,42 @@ def test_tp_specs_unrolled_layout_ff_classification():
         assert sp[-2] == "tp" and sp[-1] is None, (blk, sp)
         mlp = specs[f"['single_transformer_blocks']['{blk}']['proj_mlp']['kernel']"]
         assert mlp[-1] == "tp", (blk, mlp)
+
+
+def test_tp_sharded_w8a8_pipeline_matches_replicated():
+    """TP composes with w8a8: the per-token activation absmax is a reduce
+    over the row-sharded contraction dim (GSPMD makes it global, so every
+    shard quantizes with the same scale), act_quant marker leaves stay
+    replicated, outputs match the unsharded w8a8 pipeline."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+    from omgsr_tpu.utils.quantize import quantize_tree_int8
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = quantize_tree_int8(
+        F.init_flux(jax.random.key(1), TINY_FLUX), min_params=1 << 6,
+        act_quant=True,
+    )
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe_ref = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe_ref(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    mesh = create_mesh({"data": 2, "tp": 2, "fsdp": 2})
+    pipe_tp = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    pipe_tp.shard_for_mesh(mesh, min_size=64, strategy="tp")
+    out = np.asarray(pipe_tp(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    import jax.tree_util as jtu
+
+    leaves = jtu.tree_leaves_with_path(pipe_tp.flux_params)
+    markers = [
+        str(getattr(x.sharding, "spec", ""))
+        for p, x in leaves
+        if "act_quant" in jtu.keystr(p)
+    ]
+    assert markers and all("tp" not in s for s in markers), markers
