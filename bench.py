@@ -271,6 +271,79 @@ def main():
     if os.environ.get("OMGSR_BENCH_TRAIN", "1") == "1":
         _section("train_s_512_s_per_step", extras, primary, lambda: run_train(1))
 
+    # ---- section 5b: -F LoRA-GAN train micro-step at scale ------------------
+    # OMGSR_BENCH_TRAIN_F=3b (default) measures the reference -F recipe
+    # (1024 px, bs 1, grad ckpt with per-block remat, int8 frozen stacked
+    # base + bf16 stacked LoRA 64/64) at the 3B proxy scale on one v5e —
+    # measured 1.949 s/step (r3); =12b attempts the full 12B (needs ~20.3 GB
+    # vs the v5e's 15.75 — fits a 2-chip {fsdp:2} slice or one v5p, see
+    # CLAUDE.md); =0 disables. Runs after the -S sections so a compile
+    # blowout cannot cost the primary.
+    def run_train_f(scale):
+        from dataclasses import replace as _replace
+
+        from omgsr_tpu.config import TrainConfig
+        from omgsr_tpu.lora import (
+            FLUX_TARGET_MODULES, SD_TARGET_MODULES, init_lora_tree,
+        )
+        from omgsr_tpu.losses.discriminator import init_discriminator
+        from omgsr_tpu.losses.dists import init_dists
+        from omgsr_tpu.models import convnext as CN
+        from omgsr_tpu.models.configs import CONVNEXT_SIZES, FLUX_DEV, FLUX_VAE
+        from omgsr_tpu.training.trainer import TrainerF
+        from omgsr_tpu.utils.quantize import init_flux_int8
+
+        flux_cfg = (
+            FLUX_DEV if scale == "12b"
+            else _replace(FLUX_DEV, num_layers=5, num_single_layers=9)
+        )
+        cfg = TrainConfig(
+            model="omgsr_f_1024", mid_timestep=244, gradient_accumulation_steps=1,
+            lr_warmup_steps=0, learning_rate=1e-4, gradient_checkpointing=True,
+            quantize_base="int8", resolution=1024,
+        )
+        flux_q = init_flux_int8(
+            jax.random.key(11), flux_cfg, block_dtype=dtype, repeat_blocks=True
+        )
+        fvp = vae.init_vae(jax.random.key(12), FLUX_VAE, dtype=dtype)
+        cn_cfg = CONVNEXT_SIZES["large"]
+        bp = CN.init_convnext(jax.random.key(13), cn_cfg, dtype=dtype)
+        frozen_f = {
+            "vae": fvp, "vae_cfg": FLUX_VAE, "flux": flux_q, "flux_cfg": flux_cfg,
+            "backbone": bp, "dists": init_dists(bp, cn_cfg.dims),
+            "prompt_embeds": jnp.asarray(rng.normal(size=(1, 512, 4096)), dtype),
+            "pooled_prompt_embeds": jnp.asarray(rng.normal(size=(1, 768)), dtype),
+        }
+        gen_lora_f = {
+            "vae_encoder": init_lora_tree(
+                jax.random.key(14), fvp["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
+            ),
+            "denoiser": init_lora_tree(
+                jax.random.key(15), flux_q, FLUX_TARGET_MODULES,
+                cfg.flux_transformer_lora_rank,
+            ),
+        }
+        disc_f = init_discriminator(jax.random.key(16), cn_cfg.dims[:3], cfg.resolution)
+        trainer_f = TrainerF(cfg, frozen_f, gen_lora_f, disc_f)
+
+        def train_micro(batch):
+            metrics, _ = trainer_f.train_step(batch, jax.random.key(17))
+            return metrics["loss_total_G"]
+
+        return _timed(
+            train_micro,
+            lambda: {"lq": fresh((1, 1024, 1024, 3)), "hq": fresh((1, 1024, 1024, 3))},
+            lambda loss: float(loss),
+            iters=3,
+        )
+
+    train_f_scale = os.environ.get("OMGSR_BENCH_TRAIN_F", "3b")
+    if train_f_scale in ("3b", "12b"):
+        _section(
+            f"train_f_1024_{train_f_scale}_int8base_s_per_step", extras, primary,
+            lambda: run_train_f(train_f_scale),
+        )
+
     # ---- section 6 (opt-in): -S 512->2048 x4 long-context protocol ----------
     # 49 latent-64 tiles + full-image VAE at 2048 px; the 2048 decode's mid
     # attention (S=65536) dispatches to the kv-blocked Pallas flash kernel
