@@ -45,6 +45,7 @@ class OMGSRFPipeline:
         from omgsr_tpu.inference.vae_routing import validate_vae_opts
 
         validate_vae_opts(vae_tile, vae_stats, vae_cfg.downscale)
+        # cfg.fused_resblocks stays OFF by default (see pipeline_s note)
         if scan_blocks and "stacked" not in flux_params.get("transformer_blocks", {}):
             # scan over stacked block params: one compiled block body instead
             # of 57 unrolled copies (compile time for the 12B DiT)

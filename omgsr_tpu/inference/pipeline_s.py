@@ -51,6 +51,10 @@ class OMGSRSPipeline:
         from omgsr_tpu.inference.vae_routing import validate_vae_opts
 
         validate_vae_opts(vae_tile, vae_stats, vae_cfg.downscale)
+        # NOTE cfg.fused_resblocks (the Pallas resblock kernel) stays OFF by
+        # default: it wins 1.7x on an isolated resnet chain but measures
+        # EXACT parity inside the composed decode (see ops/conv3x3 notes) —
+        # the decode lever is closed; the flag remains for experimentation.
         self.vae_params = vae_params
         self.unet_params = unet_params
         self.vae_cfg = vae_cfg

@@ -486,8 +486,14 @@ def exact_vae_decode(params, cfg, z, stat_rows: int = 64, unscale: bool = True):
 def sharded_vae_decode(params, cfg, z, mesh, axis: str = "data"):
     """Exact decode with the latent sharded over H across ``axis``; XLA
     emits conv halo exchanges + global GroupNorm reductions."""
+    from dataclasses import replace
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if cfg.fused_resblocks:
+        # the Pallas kernel is not spatially partitionable — GSPMD cannot
+        # insert halo exchanges through a custom call
+        cfg = replace(cfg, fused_resblocks=False)
     zs = jax.device_put(z, NamedSharding(mesh, P(None, axis, None, None)))
     fn = jax.jit(
         partial(vae_mod.vae_decode, cfg=cfg),
@@ -497,8 +503,12 @@ def sharded_vae_decode(params, cfg, z, mesh, axis: str = "data"):
 
 
 def sharded_vae_encode(params, cfg, x, mesh, axis: str = "data"):
+    from dataclasses import replace
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if cfg.fused_resblocks:
+        cfg = replace(cfg, fused_resblocks=False)  # see sharded_vae_decode
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
 
     def enc(params, x):

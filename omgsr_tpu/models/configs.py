@@ -31,6 +31,12 @@ class VAEConfig:
     # is 0.5 GB) at one block's working set + bf16 carries. Set by the
     # trainers under gradient_checkpointing; inference paths ignore it.
     remat_blocks: bool = False
+    # inference-only: run eligible resblocks through the fused Pallas
+    # conv3x3 kernel (GN+SiLU prologue + streamed GN stats) — measured
+    # 1.7x over the XLA resblock chain at decoder shapes on a v5e
+    # (ops/conv3x3.fused_resblock). No custom VJP: set by inference
+    # pipelines on the TPU backend, never under differentiation.
+    fused_resblocks: bool = False
 
     @property
     def downscale(self) -> int:

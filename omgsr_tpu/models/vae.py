@@ -175,12 +175,30 @@ def _mid_attention(p, x, groups):
     return x + o.reshape(b, hh, ww, c)
 
 
-def _mid_block(p, x, groups):
-    x = _resnet(p["resnets"]["0"], x, groups)
+def _mid_block(p, x, groups, res=_resnet):
+    x = res(p["resnets"]["0"], x, groups)
     if "attentions" in p:
         x = _mid_attention(p["attentions"]["0"], x, groups)
-    x = _resnet(p["resnets"]["1"], x, groups)
+    x = res(p["resnets"]["1"], x, groups)
     return x
+
+
+def _select_resnet(cfg):
+    """Resnet executor for the given config: per-block remat (training),
+    fused Pallas kernel (TPU inference; per-shape eligibility with XLA
+    fallback), or the plain XLA block. Streaming-VAE hooks force plain."""
+    if cfg.remat_blocks:
+        return jax.checkpoint(_resnet, static_argnums=(2,))
+    if cfg.fused_resblocks and _GN_HOOK is None:
+        from omgsr_tpu.ops.conv3x3 import fused_resblock, fused_resblock_eligible
+
+        def res(p, x, groups):
+            if fused_resblock_eligible(p, x, groups):
+                return fused_resblock(p, x, groups)
+            return _resnet(p, x, groups)
+
+        return res
+    return _resnet
 
 
 def vae_encode_features(params, cfg: VAEConfig, x):
@@ -188,9 +206,7 @@ def vae_encode_features(params, cfg: VAEConfig, x):
     p = params["encoder"]
     g = cfg.norm_num_groups
     h = conv2d(p["conv_in"], x, padding=1)
-    res = (
-        jax.checkpoint(_resnet, static_argnums=(2,)) if cfg.remat_blocks else _resnet
-    )
+    res = _select_resnet(cfg)
     n = len(cfg.block_out_channels)
     for i in range(n):
         blk = p["down_blocks"][str(i)]
@@ -198,7 +214,7 @@ def vae_encode_features(params, cfg: VAEConfig, x):
             h = res(blk["resnets"][str(j)], h, g)
         if "downsamplers" in blk:
             h = downsample_conv_2x(blk["downsamplers"]["0"]["conv"], h)
-    h = _mid_block(p["mid_block"], h, g)
+    h = _mid_block(p["mid_block"], h, g, res=res)
     h = _vae_group_norm_silu(p["conv_norm_out"], h, g)
     h = conv2d(p["conv_out"], h, padding=1)
     if "quant_conv" in params:
@@ -259,10 +275,8 @@ def vae_decode(params, cfg: VAEConfig, z, unscale: bool = True):
     p = params["decoder"]
     g = cfg.norm_num_groups
     h = conv2d(p["conv_in"], z, padding=1)
-    h = _mid_block(p["mid_block"], h, g)
-    res = (
-        jax.checkpoint(_resnet, static_argnums=(2,)) if cfg.remat_blocks else _resnet
-    )
+    res = _select_resnet(cfg)
+    h = _mid_block(p["mid_block"], h, g, res=res)
     n = len(cfg.block_out_channels)
     for i in range(n):
         blk = p["up_blocks"][str(i)]

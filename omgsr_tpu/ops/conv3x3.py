@@ -133,8 +133,14 @@ def _kernel_rb(
         y = y + s_vmem[...].astype(jnp.float32)
     o_ref[0] = y.astype(o_ref.dtype)
     if emit_stats:
-        ssum_ref[...] = jnp.sum(y, axis=(0, 1)).reshape(1, cout)
-        ssq_ref[...] = jnp.sum(y * y, axis=(0, 1)).reshape(1, cout)
+        # (1, 8, cout) blocks: Mosaic needs the sublane dim divisible by 8,
+        # so the per-stripe channel sums broadcast over 8 rows (row 0 read)
+        ssum_ref[...] = jnp.broadcast_to(
+            jnp.sum(y, axis=(0, 1)).reshape(1, 1, cout), (1, 8, cout)
+        )
+        ssq_ref[...] = jnp.broadcast_to(
+            jnp.sum(y * y, axis=(0, 1)).reshape(1, 1, cout), (1, 8, cout)
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("bh", "emit_stats"))
@@ -182,13 +188,13 @@ def conv3x3_gn_fused(x, w, b, gn_scale, gn_shift, skip=None, bh: int = 8,
                 (1, bh, width, cout), lambda i: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, h, width, cout), x.dtype),
-            jax.ShapeDtypeStruct((grid, cout), jnp.float32),
-            jax.ShapeDtypeStruct((grid, cout), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, cout), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, cout), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bh + 2, width + 2 + align_pad, cin), x.dtype),
@@ -197,7 +203,108 @@ def conv3x3_gn_fused(x, w, b, gn_scale, gn_shift, skip=None, bh: int = 8,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xp, w.astype(x.dtype), b.reshape(1, cout).astype(x.dtype), aff, skip)
-    return y, ssum, ssq
+    return y, ssum[:, 0, :], ssq[:, 0, :]
+
+
+def _pick_bh(h: int, width: int, cin: int, cout: int) -> int | None:
+    """Largest row-stripe height whose kernel working set fits scoped VMEM
+    (16 MB limit; budget 13 MB for margin). None if even bh=2 does not fit
+    or h has no valid stripe divisor."""
+    wp = width + 2 + ((-(width + 2)) % 32)
+    for bh in (8, 4, 2):
+        if h % bh:
+            continue
+        est = (
+            (bh + 2) * wp * cin * (2 + 4 + 4)  # window bf16 + two f32 temps
+            + bh * width * cout * 4  # f32 acc
+            + 3 * bh * width * cout * 2  # out double-buffer + skip
+            + 9 * cin * cout * 2  # weights
+        )
+        if est <= 13 * 2**20:
+            return bh
+    return None
+
+
+def fused_resblock(p, x, groups: int, eps: float = 1e-6):
+    """Whole VAE resblock via the fused Pallas conv: GN1 stats by one XLA
+    reduce over the input, then conv1 with a folded GN+SiLU prologue that
+    streams GN2's channel sums out, then conv2 with the folded GN2 prologue
+    and the skip add (conv_shortcut applied via XLA 1x1 when present).
+
+    Eligible when both convs' channels are multiples of 128 and a VMEM
+    -feasible row stripe exists (_pick_bh); callers fall back to the XLA
+    resblock otherwise. Inference-only (no custom VJP).
+
+    MEASUREMENTS that close the decode mega-kernel lever (v5e, 2026-08-17,
+    interleaved reps):
+      * isolated 4-resblock chain at 1024x1024x128, bh=4: this kernel wins
+        1.69-1.70x over the bare XLA chain (105 -> 62 ms);
+      * INSIDE the composed SD-VAE 1024px decode: fused on ALL VMEM-feasible
+        shapes (bh down to 2) is 0.83x — SLOWER (179 -> 216 ms; bh=2 pays
+        (bh+2)/bh = 2x halo read amplification and forfeits XLA's cross-op
+        fusion at stage seams);
+      * restricted to the winning bh>=4 shapes (up3's 1024x1024x128
+        resnets): EXACT parity, 0.998-1.003x decode, 1.000x on the full -S
+        256->1024 protocol.
+    XLA's cross-op fusion inside the composed decode already achieves what
+    the hand kernel gains in isolation (same conclusion as the per-conv
+    kernel and fused-GN experiments, CLAUDE.md perf notes) — so pipelines
+    leave cfg.fused_resblocks OFF; the kernel remains for experimentation
+    and as the building block for future shapes where the balance differs.
+
+    GN statistics note: GN2/later stats are E[x^2]-mean^2 over the conv's
+    f32 accumulator (before bf16 rounding of the stored tensor) — within
+    bf16 noise of the two-pass XLA form on realistic ranges.
+    """
+    b, h, width, cin = x.shape
+    cout = p["conv1"]["kernel"].shape[-1]
+    per = cin // groups
+
+    # GN1: one f32 reduce over the input (channel sums -> group stats)
+    x32 = x.astype(jnp.float32)
+    ssum0 = jnp.sum(x32, axis=(0, 1, 2))
+    ssq0 = jnp.sum(x32 * x32, axis=(0, 1, 2))
+    scale1, shift1 = gn_affine_from_channel_sums(
+        ssum0[None], ssq0[None], h * width, groups,
+        p["norm1"]["scale"], p["norm1"]["bias"], eps,
+    )
+    h1, ssum1, ssq1 = conv3x3_gn_fused(
+        x, p["conv1"]["kernel"], p["conv1"]["bias"], scale1, shift1,
+        bh=_pick_bh(h, width, cin, cout),
+    )
+    scale2, shift2 = gn_affine_from_channel_sums(
+        ssum1, ssq1, h * width, groups, p["norm2"]["scale"], p["norm2"]["bias"], eps
+    )
+    if "conv_shortcut" in p:
+        from omgsr_tpu.models.layers import conv2d
+
+        skip = conv2d(p["conv_shortcut"], x, padding=0)
+    else:
+        skip = x
+    y, _, _ = conv3x3_gn_fused(
+        h1, p["conv2"]["kernel"], p["conv2"]["bias"], scale2, shift2,
+        skip=skip, bh=_pick_bh(h, width, cout, cout), emit_stats=False,
+    )
+    return y
+
+
+def fused_resblock_eligible(p, x, groups: int) -> bool:
+    """Restrict to the measured-winning regime: stripes of at least 4 rows
+    (bh=2 doubles the halo read amplification — (bh+2)/bh — and measured
+    SLOWER than XLA in the composed 1024px decode: fused-everywhere 216 ms
+    vs plain 179; the 1024x1024x128 bh=4 chain wins 1.7x in isolation)."""
+    b, h, width, cin = x.shape
+    cout = p["conv1"]["kernel"].shape[-1]
+    bh1 = _pick_bh(h, width, cin, cout)
+    bh2 = _pick_bh(h, width, cout, cout)
+    return (
+        b == 1
+        and cin % 128 == 0
+        and cout % 128 == 0
+        and cin % groups == 0
+        and bh1 is not None and bh1 >= 4
+        and bh2 is not None and bh2 >= 4
+    )
 
 
 def gn_affine_from_channel_sums(ssum, ssq, hw: int, groups: int, gamma, beta,

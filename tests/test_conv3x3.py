@@ -131,3 +131,26 @@ def test_fused_channel_sums_exact():
     y32 = np.asarray(y, np.float64)
     np.testing.assert_allclose(np.asarray(ssum).sum(0), y32.sum((0, 1, 2)), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ssq).sum(0), (y32 ** 2).sum((0, 1, 2)), rtol=1e-4)
+
+
+def test_fused_decode_matches_plain():
+    """vae_decode with cfg.fused_resblocks routes eligible resnets through
+    the Pallas kernel and must match the plain decode (f32, tiny 128-ch
+    decoder; includes a conv_shortcut stage boundary 128->256... reversed
+    (256,128): up0 256ch, up1 shortcut 256->128)."""
+    from dataclasses import replace
+
+    from omgsr_tpu.models import vae as V
+    from omgsr_tpu.models.configs import VAEConfig
+
+    cfg = VAEConfig(
+        block_out_channels=(128, 256), norm_num_groups=32, latent_channels=4,
+        mid_block_attention=False, layers_per_block=1,
+    )
+    p = V.init_vae(jax.random.key(21), cfg)
+    p = jax.tree.map(lambda x: x * 0.3 if x.ndim == 4 else x, p)
+    z = jax.random.normal(jax.random.key(22), (1, 8, 16, 4)) * 0.3
+    ref = np.asarray(V.vae_decode(p, cfg, z))
+    out = np.asarray(V.vae_decode(p, replace(cfg, fused_resblocks=True), z))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=3e-3, rtol=3e-3)
