@@ -160,3 +160,24 @@ def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):
         np.asarray(out_q).astype(np.float32) - np.asarray(out).astype(np.float32)
     ).mean()
     assert diff < 16.0  # uint8 scale: int8 weights stay close to bf16/f32
+
+    # --quantize int8_w8a8: the s8xs8->s32 MXU serving mode end-to-end
+    out_dir_w = tmp_path / "out_f_w8a8"
+    args_w = parse_args(
+        [
+            "--input_image", str(input_images / "small.png"),
+            "--output_dir", str(out_dir_w),
+            "--flux_path", str(root),
+            "--prompt_npz", str(input_images / "prompt_f.npz"),
+            "--process_size", "64", "--upscale", "4",
+            "--align_method", "adain", "--weight_dtype", "fp32",
+            "--quantize", "int8_w8a8",
+        ]
+    )
+    main(args_w)
+    out_w = Image.open(out_dir_w / "small.png")
+    assert out_w.size == (64, 96)
+    diff_w = np.abs(
+        np.asarray(out_w).astype(np.float32) - np.asarray(out).astype(np.float32)
+    ).mean()
+    assert diff_w < 20.0  # act quant adds ~sqrt(2)x rounding over weight-only
