@@ -101,12 +101,15 @@ class OMGSRSPipeline:
         from omgsr_tpu.inference.vae_routing import routed_vae_decode, routed_vae_encode
 
         z = routed_vae_encode(
-            vae_params, self.vae_cfg, lq_img, self.vae_tile, rng, sample_latent
+            vae_params, self.vae_cfg, lq_img, self.vae_tile, rng, sample_latent,
+            stats=self.vae_stats,
         )
         z0 = self._latent_mid(
             unet_params, z, prompt_embeds, tile_size=tile_size, tile_overlap=tile_overlap
         )
-        img = routed_vae_decode(vae_params, self.vae_cfg, z0, self.vae_tile)
+        img = routed_vae_decode(
+            vae_params, self.vae_cfg, z0, self.vae_tile, stats=self.vae_stats
+        )
         return jnp.clip(img, -1.0, 1.0)
 
     def __call__(

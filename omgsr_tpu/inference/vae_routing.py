@@ -26,8 +26,10 @@ def validate_vae_opts(vae_tile, vae_stats: str, downscale: int) -> None:
     VAE's total downscale factor, so a tile that is not a multiple of it
     leaves unwritten bands in the latent; a tile below it makes the latent
     tile size zero."""
-    if vae_stats not in ("fast", "exact"):
-        raise ValueError(f"vae_stats must be 'fast' or 'exact', got {vae_stats!r}")
+    if vae_stats not in ("fast", "exact", "auto"):
+        raise ValueError(
+            f"vae_stats must be 'fast', 'exact' or 'auto', got {vae_stats!r}"
+        )
     if vae_tile is not None:
         if vae_tile < downscale or vae_tile % downscale != 0:
             raise ValueError(
@@ -47,7 +49,7 @@ def _per_image(fn, x, rng):
     )
 
 
-def routed_vae_encode(params, cfg, x, vae_tile, rng, sample: bool):
+def routed_vae_encode(params, cfg, x, vae_tile, rng, sample: bool, stats: str = "fast"):
     """Full-image or streaming-tiled encode; forwards sampling semantics to
     the streaming path too (note streaming draws the latent noise per tile —
     documented in streaming_vae_encode)."""
@@ -58,20 +60,25 @@ def routed_vae_encode(params, cfg, x, vae_tile, rng, sample: bool):
             lambda xi, ri: streaming_vae_encode(
                 params, cfg, xi, rng=ri if sample else None, sample=sample,
                 tile=vae_tile, est_size=vae_tile,
+                stats="auto" if stats == "auto" else "fast",
             ),
             x, rng,
         )
     return vae_mod.vae_encode(params, cfg, x, rng=rng if sample else None)
 
 
-def routed_vae_decode(params, cfg, z, vae_tile):
+def routed_vae_decode(params, cfg, z, vae_tile, stats: str = "fast"):
     lat_tile = vae_tile // cfg.downscale if vae_tile else 0
     if vae_tile and min(z.shape[1], z.shape[2]) > lat_tile:
         from omgsr_tpu.inference.tiled_vae import streaming_vae_decode
 
+        # "exact" at this level routes through exact_one_step in the
+        # pipelines; "auto" reaches here and escalates inside streaming_vae_*
+        # past the measured-accurate downsample ratio
         return _per_image(
             lambda zi, _ri: streaming_vae_decode(
-                params, cfg, zi, tile=lat_tile, est_size=lat_tile
+                params, cfg, zi, tile=lat_tile, est_size=lat_tile,
+                stats="auto" if stats == "auto" else "fast",
             ),
             z, jax.random.key(0),
         )
@@ -79,11 +86,21 @@ def routed_vae_decode(params, cfg, z, vae_tile):
 
 
 def wants_exact_path(vae_stats: str, vae_tile, lq_img) -> bool:
-    return bool(
-        vae_stats == "exact"
-        and vae_tile
-        and min(lq_img.shape[1], lq_img.shape[2]) > vae_tile
-    )
+    """True when the host-orchestrated exact mode should run: explicit
+    "exact", or "auto" past the measured-accurate fast-stats downsample
+    ratio (tiled_vae.AUTO_EXACT_RATIO). Decided here — on static shapes,
+    outside jit — because the exact op-streamed plan cannot live inside
+    the one-graph fast path."""
+    if not (vae_tile and min(lq_img.shape[1], lq_img.shape[2]) > vae_tile):
+        return False
+    if vae_stats == "exact":
+        return True
+    if vae_stats == "auto":
+        from omgsr_tpu.inference.tiled_vae import AUTO_EXACT_RATIO
+
+        ratio = max(lq_img.shape[1], lq_img.shape[2]) / vae_tile
+        return ratio > AUTO_EXACT_RATIO
+    return False
 
 
 def exact_one_step(vae_params, cfg, lq_img, mid_fn, rng, sample: bool):

@@ -244,3 +244,39 @@ class TestExactVAE:
             streaming_vae_encode(
                 vae_params, TINY_VAE, jnp.zeros((1, 32, 32, 3)), stats="bogus"
             )
+
+
+class TestAutoRouting:
+    def test_wants_exact_path_auto_threshold(self):
+        from omgsr_tpu.inference.vae_routing import wants_exact_path
+
+        img_small = jnp.zeros((1, 128, 128, 3))
+        img_big = jnp.zeros((1, 640, 640, 3))
+        # ratio 128/64 = 2 <= 4: stay on the jitted fast path
+        assert not wants_exact_path("auto", 64, img_small)
+        # ratio 640/64 = 10 > 4: escalate to the host exact path
+        assert wants_exact_path("auto", 64, img_big)
+        # explicit modes unchanged
+        assert wants_exact_path("exact", 64, img_small)
+        assert not wants_exact_path("fast", 64, img_big)
+        # no tiling -> never exact-path
+        assert not wants_exact_path("auto", None, img_big)
+        assert not wants_exact_path("auto", 256, img_small)
+
+    def test_pipeline_accepts_auto(self, vae_params):
+        """End-to-end: a pipeline constructed with vae_stats="auto" runs the
+        fast streaming path under the ratio threshold and matches the
+        explicit fast configuration."""
+        from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
+        from tests.test_models import TINY_UNET
+        from omgsr_tpu.models import unet_sd as U
+
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 96, 96, 3)))
+        mk = lambda stats: OMGSRSPipeline(  # noqa: E731
+            vae_params, up, TINY_VAE, TINY_UNET,
+            vae_tile=64, vae_stats=stats,
+        )
+        fast = np.asarray(mk("fast")(lq, jnp.zeros((1, 7, 16)), tile_size=8, tile_overlap=4))
+        auto = np.asarray(mk("auto")(lq, jnp.zeros((1, 7, 16)), tile_size=8, tile_overlap=4))
+        np.testing.assert_allclose(auto, fast, atol=1e-5, rtol=1e-5)
