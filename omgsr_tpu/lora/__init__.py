@@ -6,6 +6,7 @@ from omgsr_tpu.lora.lora import (
     attach_lora,
     split_lora,
     merge_lora,
+    stack_lora_tree,
     unstack_lora_tree,
     lora_param_count,
 )

@@ -161,6 +161,29 @@ def merge_lora(base_params, lora_tree):
     return unflatten_dict(flat)
 
 
+# containers whose numeric children are scan-stacked blocks (models.flux
+# .stack_block_params) — NOT arbitrary numeric keys like resnets.0/to_out.0
+_SCAN_CONTAINERS = ("transformer_blocks", "single_transformer_blocks")
+
+
+def stack_lora_tree(lora_tree):
+    """Inverse of unstack_lora_tree: per-block indexed LoRA subtrees under
+    the scan containers gain a leading block axis under a "stacked" key — so
+    an exported (interchange-format) adapter can attach to a scan-stacked
+    base (stacked int8 serving/training trees)."""
+
+    def rec(node, key=None):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if key in _SCAN_CONTAINERS and keys and all(k.isdigit() for k in keys):
+            sub = [node[k] for k in sorted(keys, key=int)]
+            return {"stacked": jax.tree.map(lambda *xs: jnp.stack(xs), *sub)}
+        return {k: rec(v, k) for k, v in node.items()}
+
+    return rec(lora_tree)
+
+
 def unstack_lora_tree(lora_tree):
     """Convert a scan-stacked LoRA tree ({"stacked": subtree with a leading
     block axis on every leaf}) into per-block indexed layout ({"0": ..},

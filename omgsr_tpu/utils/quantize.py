@@ -63,9 +63,11 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False)
 
     act_quant=True additionally marks each quantized dense (outside
     W8A8_EXCLUDE subtrees) with an `act_quant` flag leaf: `layers.dense` then
-    quantizes the activation per token and runs the matmul as s8 x s8 -> s32
-    on the MXU's double-rate int8 path (inference-only — the rounding is
-    non-differentiable; training uses weight-only storage)."""
+    quantizes the activation per token and runs the matmul s8 x s8 -> s32 on
+    the MXU (inference-only — the rounding is non-differentiable; training
+    uses weight-only storage). Measured on the 12B DiT protocol: 1.38x over
+    weight-only (the v5e's datasheet 2x int8 rate is not reachable through
+    this XLA stack — see CLAUDE.md perf notes)."""
 
     def rec(node, excluded):
         if not isinstance(node, dict):

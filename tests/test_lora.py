@@ -156,3 +156,30 @@ def test_lora_param_counts_match_reference_scale():
     # every matched module contributes A and B
     flat = flatten_dict(lt)
     assert all(p[-1] in ("lora_A", "lora_B") for p in flat)
+
+
+def test_stack_unstack_lora_roundtrip():
+    """unstack (adapter export) and stack (attach-to-stacked-base) invert
+    each other; arbitrary numeric keys (resnets.0, to_out.0) are untouched."""
+    import numpy as np
+
+    from omgsr_tpu.lora import (
+        FLUX_TARGET_MODULES, init_lora_tree, stack_lora_tree, unstack_lora_tree,
+    )
+    from omgsr_tpu.models import flux as F
+    from omgsr_tpu.utils.quantize import quantize_tree_int8
+    from tests.test_models import TINY_FLUX
+
+    fp = quantize_tree_int8(
+        F.stack_block_params(F.init_flux(jax.random.key(1), TINY_FLUX)),
+        min_params=1 << 6,
+    )
+    lora = init_lora_tree(jax.random.key(2), fp, FLUX_TARGET_MODULES, 2)
+    # attach a non-scan numeric-key subtree to check it is left alone
+    lora["x_embedder_extra"] = {"to_out": {"0": {"lora_A": jnp.ones((4, 2)),
+                                                 "lora_B": jnp.zeros((2, 4))}}}
+    rt = stack_lora_tree(unstack_lora_tree(lora))
+    assert "stacked" in rt["transformer_blocks"]
+    assert "0" in rt["x_embedder_extra"]["to_out"]  # untouched
+    for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
