@@ -219,6 +219,32 @@ class TestTreeQuant:
         assert np.isfinite(np.asarray(w8a8)).all()
         assert _rel(w8a8, full) < 0.08
 
+    def test_tiny_flux_w8a8_damped_fixture_tight(self):
+        """Pretrained-like regime (weights damped 0.3x — raw kaiming init
+        amplifies quantization error through the residual stream): w8a8
+        deviation measured 0.0094 rel (weight-only 0.0051); bound carries
+        ~2x margin. This is the quality-relevant operating point."""
+        cfg = TINY_FLUX
+        params = F.stack_block_params(F.init_flux(jax.random.key(0), cfg))
+        params = jax.tree.map(
+            lambda x: x * 0.3 if getattr(x, "ndim", 0) >= 2 else x, params
+        )
+        params_q = quantize_tree_int8(params, min_params=1 << 6, act_quant=True)
+
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.normal(size=(1, 16, 64)), jnp.float32)
+        txt = jnp.asarray(rng.normal(size=(1, 5, cfg.joint_attention_dim)), jnp.float32)
+        pooled = jnp.asarray(rng.normal(size=(1, cfg.pooled_projection_dim)), jnp.float32)
+        from omgsr_tpu.diffusion.packing import latent_image_ids
+
+        ids = latent_image_ids(4, 4)
+        tids = jnp.zeros((5, 3))
+
+        def run(p):
+            return F.flux_apply(p, cfg, img, 0.5, 1.0, pooled, txt, tids, ids)
+
+        assert _rel(run(params_q), run(params)) < 0.02
+
     def test_pipeline_f_runs_w8a8(self):
         from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
         from tests.test_models import TINY_FLUX_VAE
