@@ -128,7 +128,24 @@ def main():
         def sr(lq256):
             return pipe_q(up_f(lq256), prompt_f, pooled_f, tile_size=64, tile_overlap=32)
 
-        return _timed(sr, lambda: fresh((1, 256, 256, 3)), fence, iters=3)
+        t = _timed(sr, lambda: fresh((1, 256, 256, 3)), fence, iters=3)
+
+        # opt-in, while the 12B is staged: the 512->2048 x4 long-context
+        # protocol (49 tiles, streaming tiled VAE; measured 7.999 s/image r3)
+        if os.environ.get("OMGSR_BENCH_F12B_2048", "0") == "1":
+            pipe_2k = OMGSRFPipeline(
+                fvae_params, flux_q, FLUX_VAE, FLUX_DEV,
+                vae_tile=1024, vae_stats="auto",
+            )
+            up_2k = jax.jit(lambda x: resize(x, 2048, 2048, "bicubic"))
+
+            def sr_2k(lq512):
+                return pipe_2k(up_2k(lq512), prompt_f, pooled_f, tile_size=64, tile_overlap=32)
+
+            extras["omgsr_f_512to2048_x4_int8_12b_s_per_image"] = round(
+                _timed(sr_2k, lambda: fresh((1, 512, 512, 3)), fence, iters=3), 5
+            )
+        return t
 
     if os.environ.get("OMGSR_BENCH_F12B", "1") == "1":
         for attempt in (0, 1):
