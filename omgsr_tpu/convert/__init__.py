@@ -6,4 +6,5 @@ from omgsr_tpu.convert.porters import (
     port_clip_text,
     port_t5_encoder,
     port_dinov3_convnext,
+    port_dinov3_vit,
 )

@@ -218,3 +218,45 @@ def port_dinov3_convnext(pth_path: str, cfg=None, dtype=jnp.float32, validate: b
         expected = jax.eval_shape(lambda k: init_convnext(k, cfg), jax.random.key(0))
         _validate_against(params, expected, "dinov3_convnext")
     return params
+
+
+def port_dinov3_vit(pth_path: str, cfg=None, dtype=jnp.float32, validate: bool = True):
+    """DINOv3 ViT hub .pth (torch checkpoint) -> param tree for
+    models.dinov3_vit (hub/backbones.py:63-146 load path).
+
+    The reference's LinearKMaskedBias stores a bias_mask buffer alongside the
+    qkv bias and multiplies them at every forward (dinov3/layers/
+    attention.py:30-40); here the product is folded into the bias once at
+    port time. `local_cls_norm` (untie_global_and_local_cls_norm) is a
+    train-only head and is dropped (vision_transformer.py:171 "never used
+    during eval"); `head` is Identity and stores nothing.
+    """
+    import jax
+    import torch
+
+    from omgsr_tpu.models.configs import VIT_SIZES
+    from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
+
+    cfg = cfg or VIT_SIZES["vitl16"]
+    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    tensors = {}
+    for k, v in sd.items():
+        if k.startswith("local_cls_norm") or k.endswith(".bias_mask"):
+            continue
+        w = v.float()
+        if k.endswith(".bias") and f"{k}_mask" in sd:
+            mask = sd[f"{k}_mask"].float()
+            if not torch.isfinite(mask).all():
+                raise ValueError(
+                    f"{k}_mask contains non-finite values (uninitialized "
+                    "buffer?) — refusing to fold into the bias"
+                )
+            w = w * mask
+        tensors[k] = w.numpy()
+    params = _convert(tensors, dtype=dtype)
+    if validate:
+        expected = jax.eval_shape(lambda k: init_dinov3_vit(k, cfg), jax.random.key(0))
+        _validate_against(params, expected, "dinov3_vit")
+    return params
