@@ -60,23 +60,41 @@ def sinkhorn_knopp(
     n_iterations: int = 3,
     axis_name=None,
     total_samples=None,
+    sample_mask=None,
 ):
     """Sinkhorn-Knopp teacher assignment (:42-71): rows (prototypes) ->
     uniform 1/K mass, columns (samples) -> uniform 1/B. teacher_logits
     (B, K) local shard; total_samples overrides the global sample count
     (the iBOT variant passes the global number of masked patches). Returns
-    (B, K) assignments summing to 1 per sample."""
+    (B, K) assignments summing to 1 per sample.
+
+    `sample_mask` (B,) bool is the static-shape TPU replacement for the
+    reference's dynamic masked-patch gather (ssl_meta_arch.py:455-462
+    index_select + n_masked_patches_tensor): excluded samples carry zero
+    mass through every normalization, so the masked rows of the result
+    equal running the reference on the gathered subset exactly while the
+    array shape stays (B, K) for a single compiled graph. Excluded rows
+    come back as zeros."""
     q = jnp.exp(teacher_logits.astype(jnp.float32) / teacher_temp).T  # (K, B)
     k = q.shape[0]
+    if sample_mask is not None:
+        q = q * sample_mask[None].astype(q.dtype)
     if total_samples is None:
-        total_samples = _psum(jnp.asarray(q.shape[1], jnp.float32), axis_name)
+        count = (
+            jnp.sum(sample_mask.astype(jnp.float32))
+            if sample_mask is not None
+            else jnp.asarray(q.shape[1], jnp.float32)
+        )
+        total_samples = _psum(count, axis_name)
     b = jnp.asarray(total_samples, jnp.float32)
     q = q / _psum(jnp.sum(q), axis_name)
 
     def body(_, q):
         rows = _psum(jnp.sum(q, axis=1, keepdims=True), axis_name)
         q = q / rows / k
-        q = q / jnp.sum(q, axis=0, keepdims=True) / b
+        cols = jnp.sum(q, axis=0, keepdims=True)
+        # excluded columns are exactly zero; keep them zero instead of 0/0
+        q = jnp.where(cols > 0, q / jnp.where(cols > 0, cols, 1.0) / b, 0.0)
         return q
 
     q = jax.lax.fori_loop(0, n_iterations, body, q)
@@ -200,3 +218,39 @@ def gram_loss(
         t_sim = jnp.maximum(t_sim, 0.0)
         s_sim = jnp.where((s_sim < 0) & (t_sim < 0), 0.0, s_sim)
     return jnp.mean((s_sim - t_sim) ** 2)
+
+
+def masked_gram_loss(
+    output_feats,
+    target_feats,
+    mask,
+    apply_norm: bool = True,
+    remove_neg: bool = True,
+    remove_only_teacher_neg: bool = False,
+):
+    """gram_loss restricted to the rows selected by `mask` — the
+    static-shape TPU form of the reference's `patches[masks]` boolean
+    gather (ssl_meta_arch.py:509-512, then gram_loss.py on the (n_sel, D)
+    subset). Row L2-normalization is per-row, so selecting before or after
+    normalizing is identical; the subset Gram MSE equals the full-batch
+    pairwise error weighted by w_i * w_j and renormalized. Exact, shapes
+    static. output/target (B, N, D) or (M, D); mask matches the leading
+    dims."""
+    assert not (remove_neg and remove_only_teacher_neg)
+    s = output_feats.astype(jnp.float32).reshape(-1, output_feats.shape[-1])
+    t = target_feats.astype(jnp.float32).reshape(-1, target_feats.shape[-1])
+    w = mask.astype(jnp.float32).reshape(-1)
+    if apply_norm:
+        s = _l2_normalize(s)
+        t = _l2_normalize(t)
+    t_sim = t @ t.T
+    s_sim = s @ s.T
+    if remove_neg:
+        t_sim = jnp.maximum(t_sim, 0.0)
+        s_sim = jnp.maximum(s_sim, 0.0)
+    elif remove_only_teacher_neg:
+        t_sim = jnp.maximum(t_sim, 0.0)
+        s_sim = jnp.where((s_sim < 0) & (t_sim < 0), 0.0, s_sim)
+    pair_w = w[:, None] * w[None, :]
+    denom = jnp.maximum(jnp.sum(pair_w), 1.0)
+    return jnp.sum(pair_w * (s_sim - t_sim) ** 2) / denom
