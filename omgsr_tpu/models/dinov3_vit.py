@@ -230,10 +230,13 @@ def get_intermediate_layers(
     n: int | Sequence[int] = 1,
     reshape: bool = False,
     norm: bool = True,
+    return_class_token: bool = False,
 ):
     """Patch-token maps from the last n (or listed) blocks
     (vision_transformer.py:265-318). reshape=True returns NHWC maps at
-    stride patch_size — the ViT analogue of convnext_features."""
+    stride patch_size — the ViT analogue of convnext_features.
+    return_class_token=True yields (patch, cls) pairs per block — the
+    layout the linear-probe evaluator consumes (eval/linear.py:148-160)."""
     tokens, (h, w) = _prepare_tokens(params, cfg, x)
     n_prefix = 1 + cfg.n_storage_tokens
     sincos = rope_sincos(params, cfg, h, w)
@@ -263,6 +266,8 @@ def get_intermediate_layers(
     if reshape:
         b = x.shape[0]
         patches = [p.reshape(b, h, w, cfg.embed_dim) for p in patches]
+    if return_class_token:
+        return [(p, o[:, 0]) for p, o in zip(patches, outs)]
     return patches
 
 
