@@ -37,6 +37,7 @@ __all__ = [
     "TabulatedSchedule",
     "vit_lr_decay_rate",
     "ssl_param_groups",
+    "last_layer_mask",
     "scale_by_tree",
     "make_ssl_optimizer",
     "ema_update",
@@ -254,6 +255,20 @@ def ssl_param_groups(
     return walk(params, "")
 
 
+def last_layer_mask(params):
+    """Static bool tree marking the DINO/iBOT head prototype layers — the
+    reference's `is_last_layer` param group (param_groups.py:93-100), whose
+    lr is overridden by the last_layer_lr schedule (zeroed for the first
+    freeze_last_layer_epochs, train/train.py:142-147, :481-487)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k) for k, v in node.items()}
+        return "last_layer" in path
+
+    return walk(params, "")
+
+
 def scale_by_tree(mult_tree):
     """optax transform multiplying each update leaf by its multiplier."""
 
@@ -290,6 +305,29 @@ def _decay_by_tree(wd_mult_tree, weight_decay):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _scale_by_split_lr(mask_tree, learning_rate, last_layer_lr):
+    """Final (negated) lr scale with a per-leaf static choice between the
+    main lr and the last-layer lr — torch's two schedule-driven groups
+    (train/train.py apply_optim_scheduler:227-236) as one transform."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return (
+            jax.tree.map(
+                lambda u, is_ll: u * (-last_layer_lr if is_ll else -learning_rate),
+                updates,
+                mask_tree,
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_ssl_optimizer(
     lr_mult_tree,
     wd_mult_tree,
@@ -297,6 +335,7 @@ def make_ssl_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     clip_norm: float = 3.0,
+    last_layer_mask_tree=None,
 ):
     """AdamW with per-leaf lr and weight-decay multipliers — the functional
     equivalent of the reference's fused param groups driven by its
@@ -306,16 +345,31 @@ def make_ssl_optimizer(
     `learning_rate` and `weight_decay` are injected hyperparams: the host
     reads them from the schedule tables and overwrites
     `opt_state.hyperparams[...]` each step — scalars cross the jit
-    boundary as state leaves, so no retrace."""
+    boundary as state leaves, so no retrace.
+
+    With `last_layer_mask_tree` (from `last_layer_mask`), a third injected
+    hyperparam `last_layer_lr` drives the masked leaves instead of
+    `learning_rate` — the reference's separate last-layer group whose lr is
+    zeroed for the first freeze_last_layer_epochs (train.py:142-147)."""
+    if last_layer_mask_tree is None:
+        return optax.inject_hyperparams(
+            lambda learning_rate, weight_decay: optax.chain(
+                optax.clip_by_global_norm(clip_norm),
+                optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                scale_by_tree(lr_mult_tree),
+                _decay_by_tree(wd_mult_tree, weight_decay),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+        )(learning_rate=0.0, weight_decay=0.0)
     return optax.inject_hyperparams(
-        lambda learning_rate, weight_decay: optax.chain(
+        lambda learning_rate, weight_decay, last_layer_lr: optax.chain(
             optax.clip_by_global_norm(clip_norm),
             optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
             scale_by_tree(lr_mult_tree),
             _decay_by_tree(wd_mult_tree, weight_decay),
-            optax.scale_by_learning_rate(learning_rate),
+            _scale_by_split_lr(last_layer_mask_tree, learning_rate, last_layer_lr),
         )
-    )(learning_rate=0.0, weight_decay=0.0)
+    )(learning_rate=0.0, weight_decay=0.0, last_layer_lr=0.0)
 
 
 # ---------------------------------------------------------------------------

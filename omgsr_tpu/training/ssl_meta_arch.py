@@ -309,7 +309,7 @@ def make_ssl_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, axis_name=None):
     tabulated schedules each iteration (train/train.py:418-440) with no
     retrace."""
 
-    def step(student, teacher, opt_state, centers, batch, *, lr, wd, teacher_temp, momentum, local_loss_weight=1.0, gram_teacher_patches=None):
+    def step(student, teacher, opt_state, centers, batch, *, lr, wd, teacher_temp, momentum, local_loss_weight=1.0, last_layer_lr=None, gram_teacher_patches=None):
         def loss_fn(p):
             return ssl_losses(
                 p,
@@ -329,6 +329,10 @@ def make_ssl_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, axis_name=None):
             grads = jax.lax.pmean(grads, axis_name)
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         opt_state.hyperparams["weight_decay"] = jnp.asarray(wd, jnp.float32)
+        if "last_layer_lr" in opt_state.hyperparams:
+            opt_state.hyperparams["last_layer_lr"] = jnp.asarray(
+                lr if last_layer_lr is None else last_layer_lr, jnp.float32
+            )
         updates, opt_state = tx.update(grads, opt_state, student)
         student = jax.tree.map(lambda p, u: p + u, student, updates)
         teacher = ema_update(teacher, student, momentum)

@@ -1,0 +1,194 @@
+"""SSL pretraining CLI (cli/pretrain_dinov3.py) — schedules vs the
+reference's build_schedulers wiring, the last-layer lr freeze group, and
+the end-to-end tiny pretraining loop with checkpoint/resume."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omgsr_tpu.cli.pretrain_dinov3 import (
+    SSLPretrainConfig,
+    build_ssl_schedulers,
+    load_ssl_config,
+    run_pretraining,
+)
+from omgsr_tpu.training.ssl import (
+    last_layer_mask,
+    make_ssl_optimizer,
+    ssl_param_groups,
+)
+
+
+def _tiny_cfg(tmp_path, **kw):
+    return SSLPretrainConfig(
+        output_dir=str(tmp_path / "out"),
+        dataset_paths=str(tmp_path / "imgs"),
+        batch_size_per_device=1,
+        official_epoch_length=2,
+        epochs=2,
+        warmup_epochs=1,
+        warmup_teacher_temp_epochs=1,
+        freeze_last_layer_epochs=1,
+        saveckp_freq=3,
+        print_freq=1,
+        arch="custom",
+        global_crops_size=32,
+        local_crops_size=16,
+        local_crops_number=4,
+        dino_out_dim=64,
+        dino_hidden_dim=32,
+        dino_bottleneck_dim=16,
+        dino_nlayers=2,
+        ibot_out_dim=64,
+        ibot_hidden_dim=32,
+        ibot_bottleneck_dim=16,
+        ibot_nlayers=2,
+        extra={"vit": {"embed_dim": 32, "depth": 2, "num_heads": 2, "patch_size": 8}},
+        **kw,
+    )
+
+
+def _write_images(tmp_path, n=6):
+    from PIL import Image
+
+    d = tmp_path / "imgs"
+    d.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 80, 3), dtype=np.uint8), "RGB"
+        ).save(d / f"{i}.png")
+
+
+def test_schedulers_match_reference_wiring():
+    """build_schedulers (train/train.py:102-152): warmup lengths, freeze
+    zeroing, clamp-past-end, and the sqrt_wrt_1024 lr scaling rule
+    (configs/config.py:50-55)."""
+    cfg = SSLPretrainConfig(
+        official_epoch_length=10,
+        epochs=4,
+        warmup_epochs=1,
+        lr=0.004,
+        min_lr=1e-6,
+        freeze_last_layer_epochs=2,
+        warmup_teacher_temp_epochs=2,
+        warmup_teacher_temp=0.04,
+        teacher_temp=0.07,
+        momentum_teacher=0.992,
+        final_momentum_teacher=1.0,
+    )
+    sched = build_ssl_schedulers(cfg, global_batch_size=256)
+    s = 4 * np.sqrt(256 / 1024.0)  # = 2.0
+    assert sched["lr"][0] == 0.0  # linear warmup from 0
+    np.testing.assert_allclose(sched["lr"][10], 0.004 * s, rtol=1e-6)  # warmup peak
+    np.testing.assert_allclose(sched["lr"][10_000], 1e-6 * s, rtol=1e-6)  # clamp
+    # last-layer lr: zero through the freeze epochs, then == lr
+    assert all(sched["last_layer_lr"][i] == 0.0 for i in range(20))
+    assert sched["last_layer_lr"][20] == sched["lr"][20] != 0.0
+    # teacher temp: linear warmup to teacher_temp, constant after
+    np.testing.assert_allclose(sched["teacher_temp"][0], 0.04)
+    np.testing.assert_allclose(sched["teacher_temp"][19], 0.07, rtol=1e-6)
+    np.testing.assert_allclose(sched["teacher_temp"][35], 0.07)
+    # momentum cosine 0.992 -> 1.0
+    np.testing.assert_allclose(sched["momentum"][0], 0.992)
+    np.testing.assert_allclose(sched["momentum"][39], 1.0, atol=1e-4)
+    # no scaling rule
+    cfg2 = dataclasses.replace(cfg, scaling_rule="none")
+    np.testing.assert_allclose(
+        build_ssl_schedulers(cfg2, 256)["lr"][10], 0.004, rtol=1e-6
+    )
+
+
+def test_last_layer_freeze_group():
+    """With last_layer_lr=0 the prototype layers stay put while everything
+    else moves; with last_layer_lr == lr the split optimizer matches the
+    plain one exactly."""
+    key = jax.random.key(0)
+    params = {
+        "backbone": {"kernel": jax.random.normal(key, (4, 4))},
+        "dino_head": {
+            "mlp": {"0": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}},
+            "last_layer": {"kernel": jnp.ones((4, 8))},
+        },
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    lr_t, wd_t = ssl_param_groups(params, num_layers=2)
+    mask = last_layer_mask(params)
+    assert mask["dino_head"]["last_layer"]["kernel"] is True
+    assert mask["backbone"]["kernel"] is False
+
+    tx = make_ssl_optimizer(lr_t, wd_t, last_layer_mask_tree=mask)
+    st = tx.init(params)
+    st.hyperparams["learning_rate"] = jnp.asarray(1e-2)
+    st.hyperparams["weight_decay"] = jnp.asarray(0.0)
+    st.hyperparams["last_layer_lr"] = jnp.asarray(0.0)
+    upd, _ = tx.update(grads, st, params)
+    np.testing.assert_array_equal(
+        np.asarray(upd["dino_head"]["last_layer"]["kernel"]), 0.0
+    )
+    assert np.all(np.asarray(upd["backbone"]["kernel"]) != 0.0)
+
+    # ll_lr == lr  ==>  identical to the mask-free optimizer
+    tx0 = make_ssl_optimizer(lr_t, wd_t)
+    st0 = tx0.init(params)
+    st0.hyperparams["learning_rate"] = jnp.asarray(1e-2)
+    st0.hyperparams["weight_decay"] = jnp.asarray(0.04)
+    st.hyperparams["last_layer_lr"] = jnp.asarray(1e-2)
+    st.hyperparams["weight_decay"] = jnp.asarray(0.04)
+    upd_split, _ = tx.update(grads, st, params)
+    upd_plain, _ = tx0.update(grads, st0, params)
+    for a, b in zip(jax.tree.leaves(upd_split), jax.tree.leaves(upd_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_load_ssl_config_overrides(tmp_path):
+    p = tmp_path / "cfg.yml"
+    p.write_text("epochs: 3\nlr: 0.001\nvit:\n  embed_dim: 32\n")
+    cfg = load_ssl_config(str(p), ["epochs=5", "mask_probability=0.7"])
+    assert cfg.epochs == 5
+    assert cfg.lr == 0.001
+    assert cfg.mask_probability == 0.7
+    assert cfg.extra["vit"]["embed_dim"] == 32
+
+
+def test_pretrain_e2e_and_resume(tmp_path):
+    """4 tiny iterations end-to-end (sharded over the virtual mesh when
+    present), then checkpoint layout, teacher export restorability, and a
+    resume that continues from the saved iteration."""
+    _write_images(tmp_path)
+    cfg = _tiny_cfg(tmp_path)
+    out = run_pretraining(cfg)
+
+    ckpt_dir = os.path.join(cfg.output_dir, "checkpoints")
+    assert sorted(os.listdir(ckpt_dir)) == ["checkpoint-2", "checkpoint-3"]
+    # teacher export restores against a fresh init tree
+    from omgsr_tpu.cli.pretrain_dinov3 import _meta_cfg, _vit_cfg
+    from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
+    from omgsr_tpu.training.checkpoint import restore_train_state
+    from omgsr_tpu.training.ssl_meta_arch import init_ssl_student
+
+    tpath = os.path.join(cfg.output_dir, "eval", "teacher-3", "backbone")
+    abstract = init_ssl_student(
+        jax.random.key(1), _vit_cfg(cfg), _meta_cfg(cfg), init_dinov3_vit
+    )["backbone"]
+    restored = restore_train_state(tpath, abstract)
+    np.testing.assert_allclose(
+        np.asarray(restored["cls_token"]),
+        np.asarray(out["teacher"]["backbone"]["cls_token"]),
+    )
+    # training moved the student off its teacher-initialization
+    assert not np.allclose(
+        np.asarray(out["student"]["dino_head"]["last_layer"]["kernel"]),
+        np.asarray(out["teacher"]["dino_head"]["last_layer"]["kernel"]),
+    )
+
+    # resume past the end: restores checkpoint-3, runs nothing, stays valid
+    out2 = run_pretraining(cfg)
+    np.testing.assert_allclose(
+        np.asarray(out2["student"]["dino_head"]["mlp"]["0"]["kernel"]),
+        np.asarray(out["student"]["dino_head"]["mlp"]["0"]["kernel"]),
+    )
