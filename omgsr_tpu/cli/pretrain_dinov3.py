@@ -111,6 +111,11 @@ class SSLPretrainConfig:
     koleo_loss_weight: float = 0.1
     ibot_loss_weight: float = 1.0
     centering: str = "sinkhorn_knopp"
+    # distillation (yaml distillation.*): frozen pretrained teacher; the
+    # checkpoint is a hub backbone .pth (heads stay at init unless resumed)
+    distillation_enabled: bool = False
+    distillation_arch: str = ""  # teacher arch; "" -> same as student
+    distillation_checkpoint: str = ""  # hub .pth for the teacher backbone
     # gram (yaml gram.*)
     gram_use_loss: bool = False
     gram_loss_weight: float = 1.0
@@ -314,18 +319,28 @@ def _num_devices() -> int:
     return len(jax.devices())
 
 
-def _vit_cfg(cfg: SSLPretrainConfig):
+def _resolve_vit(arch: str, overrides):
     from omgsr_tpu.models.configs import VIT_SIZES, DinoV3ViTConfig
 
-    if cfg.arch in VIT_SIZES:
-        base = VIT_SIZES[cfg.arch]
-    elif cfg.arch == "custom":
+    if arch in VIT_SIZES:
+        base = VIT_SIZES[arch]
+    elif arch == "custom":
         base = DinoV3ViTConfig()
     else:
-        raise KeyError(f"unknown arch {cfg.arch!r} (choices: {sorted(VIT_SIZES)})")
-    if cfg.extra.get("vit"):  # field-level overrides, e.g. tiny test configs
-        base = dataclasses.replace(base, **cfg.extra["vit"])
+        raise KeyError(f"unknown arch {arch!r} (choices: {sorted(VIT_SIZES)})")
+    if overrides:  # field-level overrides, e.g. tiny test configs
+        base = dataclasses.replace(base, **overrides)
     return base
+
+
+def _vit_cfg(cfg: SSLPretrainConfig):
+    return _resolve_vit(cfg.arch, cfg.extra.get("vit"))
+
+
+def _teacher_vit_cfg(cfg: SSLPretrainConfig):
+    return _resolve_vit(
+        cfg.distillation_arch or cfg.arch, cfg.extra.get("teacher_vit")
+    )
 
 
 def _meta_cfg(cfg: SSLPretrainConfig):
@@ -390,7 +405,9 @@ def run_pretraining(cfg: SSLPretrainConfig):
     )
     from omgsr_tpu.training.ssl_meta_arch import (
         init_center_state,
+        init_distill_ema,
         init_ssl_student,
+        make_distill_train_step,
         make_ssl_train_step,
     )
     from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
@@ -413,10 +430,26 @@ def run_pretraining(cfg: SSLPretrainConfig):
     sched = build_ssl_schedulers(cfg, global_batch)
     dtype = resolve_dtype(cfg.mixed_precision)
 
-    # init (SSLMetaArch.init_weights: teacher starts as a student copy)
+    # init (SSLMetaArch.init_weights: teacher starts as a student copy; under
+    # distillation the teacher slot carries the student-EMA and a separate
+    # frozen pretrained model provides the targets, ssl_meta_arch.py:131-141)
     key = jax.random.key(cfg.seed)
     student = init_ssl_student(key, vit_cfg, meta_cfg, init_dinov3_vit)
-    teacher = jax.tree.map(jnp.copy, student)
+    frozen_teacher = None
+    if cfg.distillation_enabled:
+        t_vit_cfg = _teacher_vit_cfg(cfg)
+        frozen_teacher = init_ssl_student(
+            jax.random.fold_in(key, 1), t_vit_cfg, meta_cfg, init_dinov3_vit
+        )
+        if cfg.distillation_checkpoint:
+            from omgsr_tpu.convert import port_dinov3_vit
+
+            frozen_teacher["backbone"] = port_dinov3_vit(
+                cfg.distillation_checkpoint, cfg=t_vit_cfg
+            )
+        teacher = init_distill_ema(student)
+    else:
+        teacher = jax.tree.map(jnp.copy, student)
     lr_t, wd_t = ssl_param_groups(
         student,
         lr_decay_rate=cfg.layerwise_decay,
@@ -453,16 +486,32 @@ def run_pretraining(cfg: SSLPretrainConfig):
     opt_state, centers = state["opt"], state["centers"]
 
     mesh = create_mesh({"data": n_dev}) if n_dev > 1 else None
-    step = jax.jit(
-        make_ssl_train_step(tx, cfg=meta_cfg, vit_cfg=vit_cfg),
-        donate_argnums=(0, 1, 2, 3),
-    )
+    if cfg.distillation_enabled:
+        distill_step = jax.jit(
+            make_distill_train_step(
+                tx, cfg=meta_cfg, vit_cfg=vit_cfg, teacher_vit_cfg=_teacher_vit_cfg(cfg)
+            ),
+            donate_argnums=(0, 2, 3, 4),  # frozen teacher (1) is reused
+        )
+
+        def step(student, teacher, opt_state, centers, batch, **kw):
+            return distill_step(
+                student, frozen_teacher, teacher, opt_state, centers, batch, **kw
+            )
+
+    else:
+        step = jax.jit(
+            make_ssl_train_step(tx, cfg=meta_cfg, vit_cfg=vit_cfg),
+            donate_argnums=(0, 1, 2, 3),
+        )
     if mesh is not None:
         batch_shard = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         student, teacher, opt_state, centers = jax.device_put(
             (student, teacher, opt_state, centers), repl
         )
+        if frozen_teacher is not None:
+            frozen_teacher = jax.device_put(frozen_teacher, repl)
 
     loader = SSLLoader(cfg, start_iter=start_iter)
     mlog = MetricLogger()

@@ -134,6 +134,14 @@ def _ibot_head_apply(params, cfg: SSLMetaConfig, x):
     return dino_head_apply(head, x)
 
 
+def init_distill_ema(student):
+    """The separate student-EMA kept under distillation (ssl_meta_arch.py
+    :131 `model_ema` is the teacher ONLY in self-distillation; with
+    distillation.enabled a frozen pretrained teacher takes that slot and
+    the EMA becomes its own copy of the student, :134-141)."""
+    return jax.tree.map(jnp.copy, student)
+
+
 def _teacher_targets(teacher, vit_cfg, cfg, crops, masks, teacher_temp, centers, axis_name):
     """get_teacher_output (:426-468): backbone -> heads -> centered
     targets. Returns (cls_probs (G*B, K), patch_probs (G*B, N, K),
@@ -191,6 +199,8 @@ def ssl_losses(
     teacher_temp,
     local_loss_weight=1.0,
     gram_teacher_patches=None,
+    teacher_vit_cfg=None,
+    distillation=False,
     axis_name=None,
 ):
     """forward + compute_losses (:349-678) as a pure function.
@@ -202,6 +212,13 @@ def ssl_losses(
     gram teacher (gram.ema_teacher=false path); when None and
     gram_loss_weight > 0, the EMA teacher's patch features anchor instead.
 
+    Distillation (ssl_meta_arch.py:134-141, :263-294, :533): `teacher` is a
+    frozen pretrained model, possibly a larger arch (`teacher_vit_cfg`;
+    same patch size and head out-dims required), and the student's global
+    forward skips the mask-token swap — the iBOT CE still reads the masked
+    positions, so the student predicts the teacher's tokens from CLEAN
+    pixels.
+
     Returns (total_loss, aux) with aux = {metrics, new_centers}.
     """
     g, l = cfg.n_global_crops, cfg.n_local_crops
@@ -210,14 +227,20 @@ def ssl_losses(
     masks = batch["masks"]
     b = global_crops.shape[0] // g
 
+    t_vit_cfg = vit_cfg if teacher_vit_cfg is None else teacher_vit_cfg
+    if t_vit_cfg.patch_size != vit_cfg.patch_size:
+        raise ValueError("distillation requires matching patch sizes (:273)")
     teacher_crops = batch.get("global_crops_teacher", global_crops)
     t_cls_probs, t_patch_probs, t_patch_pre_head, new_centers = _teacher_targets(
-        teacher, vit_cfg, cfg, teacher_crops, masks, teacher_temp, centers, axis_name
+        teacher, t_vit_cfg, cfg, teacher_crops, masks, teacher_temp, centers, axis_name
     )
 
     # student forward: global crops see the iBOT masks (mask-token swap),
-    # local crops don't (get_student_output:531-537)
-    s_global = dinov3_vit_apply(student["backbone"], vit_cfg, global_crops, masks)
+    # local crops don't (get_student_output:531-537); under distillation the
+    # student sees clean pixels (masks=None, :533)
+    s_global = dinov3_vit_apply(
+        student["backbone"], vit_cfg, global_crops, None if distillation else masks
+    )
     s_local = dinov3_vit_apply(student["backbone"], vit_cfg, local_crops)
     s_g_cls = s_global["x_norm_clstoken"]  # (G*B, D)
     s_g_patch = s_global["x_norm_patchtokens"]  # (G*B, N, K)
@@ -337,5 +360,45 @@ def make_ssl_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, axis_name=None):
         student = jax.tree.map(lambda p, u: p + u, student, updates)
         teacher = ema_update(teacher, student, momentum)
         return student, teacher, opt_state, aux["centers"], aux["metrics"]
+
+    return step
+
+
+def make_distill_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, teacher_vit_cfg=None, axis_name=None):
+    """One distillation step (distillation.enabled=true): the frozen
+    pretrained teacher provides the targets and never moves; the EMA tracks
+    the STUDENT into `model_ema` (the eval artifact, ssl_meta_arch.py
+    :131-141). Same losses, optimizer and schedule plumbing as the SSL
+    step; the student's global forward skips the mask-token swap (:533)."""
+
+    def step(student, teacher, model_ema, opt_state, centers, batch, *, lr, wd, teacher_temp, momentum, local_loss_weight=1.0, last_layer_lr=None):
+        def loss_fn(p):
+            return ssl_losses(
+                p,
+                teacher,
+                batch,
+                centers,
+                cfg=cfg,
+                vit_cfg=vit_cfg,
+                teacher_vit_cfg=teacher_vit_cfg,
+                teacher_temp=teacher_temp,
+                local_loss_weight=local_loss_weight,
+                distillation=True,
+                axis_name=axis_name,
+            )
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(student)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        opt_state.hyperparams["weight_decay"] = jnp.asarray(wd, jnp.float32)
+        if "last_layer_lr" in opt_state.hyperparams:
+            opt_state.hyperparams["last_layer_lr"] = jnp.asarray(
+                lr if last_layer_lr is None else last_layer_lr, jnp.float32
+            )
+        updates, opt_state = tx.update(grads, opt_state, student)
+        student = jax.tree.map(lambda p, u: p + u, student, updates)
+        model_ema = ema_update(model_ema, student, momentum)
+        return student, model_ema, opt_state, aux["centers"], aux["metrics"]
 
     return step

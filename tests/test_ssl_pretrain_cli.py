@@ -24,7 +24,7 @@ from omgsr_tpu.training.ssl import (
 
 
 def _tiny_cfg(tmp_path, **kw):
-    return SSLPretrainConfig(
+    base = dict(
         output_dir=str(tmp_path / "out"),
         dataset_paths=str(tmp_path / "imgs"),
         batch_size_per_device=1,
@@ -48,8 +48,9 @@ def _tiny_cfg(tmp_path, **kw):
         ibot_bottleneck_dim=16,
         ibot_nlayers=2,
         extra={"vit": {"embed_dim": 32, "depth": 2, "num_heads": 2, "patch_size": 8}},
-        **kw,
     )
+    base.update(kw)
+    return SSLPretrainConfig(**base)
 
 
 def _write_images(tmp_path, n=6):
@@ -153,6 +154,95 @@ def test_load_ssl_config_overrides(tmp_path):
     assert cfg.lr == 0.001
     assert cfg.mask_probability == 0.7
     assert cfg.extra["vit"]["embed_dim"] == 32
+
+
+def test_distill_step_frozen_teacher_and_student_ema():
+    """Distillation (ssl_meta_arch.py:131-141): a larger frozen teacher
+    provides the targets, the student trains from clean pixels, and the
+    EMA tracks the student, not the teacher."""
+    from omgsr_tpu.models.configs import DinoV3ViTConfig
+    from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
+    from omgsr_tpu.training.ssl_meta_arch import (
+        SSLMetaConfig,
+        init_center_state,
+        init_distill_ema,
+        init_ssl_student,
+        make_distill_train_step,
+    )
+
+    s_vit = DinoV3ViTConfig(embed_dim=32, depth=2, num_heads=2, patch_size=8)
+    t_vit = DinoV3ViTConfig(embed_dim=48, depth=3, num_heads=3, patch_size=8)
+    meta = SSLMetaConfig(
+        n_local_crops=4,
+        dino_out_dim=64, dino_hidden_dim=32, dino_bottleneck_dim=16, dino_nlayers=2,
+        ibot_out_dim=64, ibot_hidden_dim=32, ibot_bottleneck_dim=16, ibot_nlayers=2,
+    )
+    student = init_ssl_student(jax.random.key(0), s_vit, meta, init_dinov3_vit)
+    frozen = init_ssl_student(jax.random.key(1), t_vit, meta, init_dinov3_vit)
+    ema = init_distill_ema(student)
+    lr_t, wd_t = ssl_param_groups(student, num_layers=s_vit.depth)
+    tx = make_ssl_optimizer(lr_t, wd_t, last_layer_mask_tree=last_layer_mask(student))
+    opt_state = tx.init(student)
+    centers = init_center_state(meta)
+
+    rng = np.random.default_rng(0)
+    b, n = 2, (32 // 8) ** 2
+    masks = np.zeros((2 * b, n), bool)
+    masks[0, :6] = True
+    batch = {
+        "global_crops": jnp.asarray(rng.standard_normal((2 * b, 32, 32, 3)), jnp.float32),
+        "local_crops": jnp.asarray(rng.standard_normal((4 * b, 16, 16, 3)), jnp.float32),
+        "masks": jnp.asarray(masks),
+    }
+    step = jax.jit(
+        make_distill_train_step(tx, cfg=meta, vit_cfg=s_vit, teacher_vit_cfg=t_vit)
+    )
+    frozen0 = jax.tree.map(np.asarray, frozen)
+    student1, ema1, opt_state, centers, metrics = step(
+        student, frozen, ema, opt_state, centers, batch,
+        lr=1e-3, wd=0.04, teacher_temp=0.07, momentum=0.9, last_layer_lr=0.0,
+    )
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    # student moved; frozen teacher untouched; EMA = 0.9*student0 + 0.1*student1
+    assert not np.allclose(
+        np.asarray(student1["backbone"]["cls_token"]),
+        np.asarray(student["backbone"]["cls_token"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frozen["backbone"]["cls_token"]), frozen0["backbone"]["cls_token"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ema1["backbone"]["cls_token"]),
+        0.9 * np.asarray(student["backbone"]["cls_token"])
+        + 0.1 * np.asarray(student1["backbone"]["cls_token"]),
+        rtol=1e-5, atol=1e-7,
+    )
+    # last-layer freeze active through the split optimizer
+    np.testing.assert_array_equal(
+        np.asarray(student1["dino_head"]["last_layer"]["kernel"]),
+        np.asarray(student["dino_head"]["last_layer"]["kernel"]),
+    )
+
+
+def test_pretrain_e2e_distillation(tmp_path):
+    """CLI distillation mode: frozen bigger teacher, 2 tiny iterations."""
+    _write_images(tmp_path)
+    cfg = _tiny_cfg(
+        tmp_path,
+        distillation_enabled=True,
+        distillation_arch="custom",
+        epochs=1,
+        saveckp_freq=2,
+    )
+    cfg.extra["teacher_vit"] = {
+        "embed_dim": 48, "depth": 2, "num_heads": 3, "patch_size": 8
+    }
+    out = run_pretraining(cfg)
+    # the exported "teacher" is the student's EMA: same tree shape as student
+    assert (
+        np.asarray(out["teacher"]["backbone"]["cls_token"]).shape
+        == np.asarray(out["student"]["backbone"]["cls_token"]).shape
+    )
 
 
 def test_pretrain_e2e_and_resume(tmp_path):
