@@ -123,6 +123,13 @@ class SSLPretrainConfig:
     gram_remove_neg: bool = False
     gram_tokens_used: str = "all"
     gram_ema_teacher: bool = False
+    gram_ckpt: str = ""  # hub .pth for the frozen gram teacher backbone
+    gram_rep_update: bool = True
+    gram_update_frequency: int = 50000
+    gram_it_first_update: int = 0
+    gram_it_load_ema_teacher: int = -1
+    gram_max_updates: Optional[int] = None
+    gram_resize_method: str = "bicubic"
     extra: dict = dataclasses.field(default_factory=dict)
 
 
@@ -435,6 +442,12 @@ def run_pretraining(cfg: SSLPretrainConfig):
     # frozen pretrained model provides the targets, ssl_meta_arch.py:131-141)
     key = jax.random.key(cfg.seed)
     student = init_ssl_student(key, vit_cfg, meta_cfg, init_dinov3_vit)
+    use_gram_teacher = cfg.gram_use_loss and not cfg.gram_ema_teacher
+    if use_gram_teacher and cfg.distillation_enabled:
+        raise NotImplementedError(
+            "frozen gram teacher + distillation in one run is not wired; "
+            "use gram_ema_teacher=true under distillation"
+        )
     frozen_teacher = None
     if cfg.distillation_enabled:
         t_vit_cfg = _teacher_vit_cfg(cfg)
@@ -468,6 +481,23 @@ def run_pretraining(cfg: SSLPretrainConfig):
     opt_state = tx.init(student)
     centers = init_center_state(meta_cfg)
 
+    # frozen gram teacher (gram.ema_teacher=false): ported hub backbone, or
+    # the initial EMA teacher's as a from-scratch fallback (the reference
+    # demands a ckpt, ssl_meta_arch.py:316-323 — warn accordingly)
+    gram_backbone = None
+    num_gram_updates = 0
+    if use_gram_teacher:
+        if cfg.gram_ckpt:
+            from omgsr_tpu.convert import port_dinov3_vit
+
+            gram_backbone = port_dinov3_vit(cfg.gram_ckpt, cfg=vit_cfg)
+        else:
+            logger.warning(
+                "gram teacher without gram_ckpt — anchoring on the "
+                "randomly-initialized backbone until the first EMA update"
+            )
+            gram_backbone = jax.tree.map(jnp.copy, teacher["backbone"])
+
     start_iter = 0
     state = {
         "student": student,
@@ -476,6 +506,8 @@ def run_pretraining(cfg: SSLPretrainConfig):
         "centers": centers,
         "step": np.asarray(0, np.int64),
     }
+    if gram_backbone is not None:
+        state["gram"] = gram_backbone
     if cfg.resume:
         path = latest_checkpoint(cfg.output_dir)
         if path:
@@ -484,6 +516,17 @@ def run_pretraining(cfg: SSLPretrainConfig):
             logger.info("resumed from %s at iteration %d", path, start_iter)
     student, teacher = state["student"], state["teacher"]
     opt_state, centers = state["opt"], state["centers"]
+    gram_backbone = state.get("gram", gram_backbone)
+    if (
+        use_gram_teacher
+        and cfg.gram_rep_update
+        and start_iter > 0
+        and start_iter >= cfg.gram_it_first_update
+    ):
+        # replayed update count (train.py:441-452 resume bookkeeping)
+        num_gram_updates = math.ceil(
+            (start_iter + 1 - cfg.gram_it_first_update) / cfg.gram_update_frequency
+        )
 
     mesh = create_mesh({"data": n_dev}) if n_dev > 1 else None
     if cfg.distillation_enabled:
@@ -499,6 +542,21 @@ def run_pretraining(cfg: SSLPretrainConfig):
                 student, frozen_teacher, teacher, opt_state, centers, batch, **kw
             )
 
+    elif use_gram_teacher:
+        from omgsr_tpu.training.ssl_meta_arch import make_gram_ssl_train_step
+
+        gram_step = jax.jit(
+            make_gram_ssl_train_step(
+                tx, cfg=meta_cfg, vit_cfg=vit_cfg, resize_method=cfg.gram_resize_method
+            ),
+            donate_argnums=(0, 1, 3, 4),  # gram backbone (2) is reused
+        )
+
+        def step(student, teacher, opt_state, centers, batch, **kw):
+            return gram_step(
+                student, teacher, gram_backbone, opt_state, centers, batch, **kw
+            )
+
     else:
         step = jax.jit(
             make_ssl_train_step(tx, cfg=meta_cfg, vit_cfg=vit_cfg),
@@ -512,6 +570,8 @@ def run_pretraining(cfg: SSLPretrainConfig):
         )
         if frozen_teacher is not None:
             frozen_teacher = jax.device_put(frozen_teacher, repl)
+        if gram_backbone is not None:
+            gram_backbone = jax.device_put(gram_backbone, repl)
 
     loader = SSLLoader(cfg, start_iter=start_iter)
     mlog = MetricLogger()
@@ -519,6 +579,10 @@ def run_pretraining(cfg: SSLPretrainConfig):
     it = start_iter - 1  # loop may be empty on resume-at-end
     try:
         for it in range(start_iter, total_iters):
+            if use_gram_teacher and it == cfg.gram_it_load_ema_teacher:
+                # load the EMA teacher into the gram teacher (train.py:473-475)
+                logger.info("loading EMA teacher into gram teacher at it %d", it)
+                gram_backbone = jax.tree.map(jnp.copy, teacher["backbone"])
             batch_np = next(loader)
             batch = {
                 k: jnp.asarray(
@@ -543,6 +607,17 @@ def run_pretraining(cfg: SSLPretrainConfig):
                 momentum=sched["momentum"][it],
                 last_layer_lr=sched["last_layer_lr"][it],
             )
+            if (
+                use_gram_teacher
+                and cfg.gram_rep_update
+                and (it + 1) >= cfg.gram_it_first_update
+                and (it + 1) % cfg.gram_update_frequency == 0
+                and (cfg.gram_max_updates is None or num_gram_updates < cfg.gram_max_updates)
+            ):
+                # periodic gram-teacher refresh from the EMA (train.py:534-545)
+                logger.info("updating gram teacher from EMA after it %d", it)
+                gram_backbone = jax.tree.map(jnp.copy, teacher["backbone"])
+                num_gram_updates += 1
             if (it + 1) % cfg.print_freq == 0 or it + 1 == total_iters:
                 host = {k: float(v) for k, v in metrics.items()}
                 if not math.isfinite(host["total_loss"]):
@@ -563,6 +638,8 @@ def run_pretraining(cfg: SSLPretrainConfig):
                     "centers": centers,
                     "step": np.asarray(it, np.int64),
                 }
+                if gram_backbone is not None:
+                    state["gram"] = gram_backbone
                 save_train_state(cfg.output_dir, state, it)
                 export_teacher_backbone(cfg.output_dir, it, teacher)
     finally:

@@ -364,6 +364,38 @@ def make_ssl_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, axis_name=None):
     return step
 
 
+def make_gram_ssl_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, resize_method="bicubic", axis_name=None):
+    """SSL step with a FROZEN gram-teacher backbone folded into the same
+    compiled graph (get_gram_teacher_output:470-523, gram.ema_teacher=false):
+    its patch features anchor the student's Gram matrices; when the gram
+    crops are larger than the student's, the patch grid is resized down
+    (:488-503). The host swaps the gram params from the EMA teacher on the
+    reference's update schedule (train.py:534-545) — a pure data swap, no
+    retrace. The optional gram loss_weight_schedule is not tabulated here;
+    the weight is static in SSLMetaConfig (schedule support would thread it
+    as one more scalar argument)."""
+    base = make_ssl_train_step(tx, cfg=cfg, vit_cfg=vit_cfg, axis_name=axis_name)
+
+    def step(student, teacher, gram_backbone, opt_state, centers, batch, **kw):
+        crops = batch.get("gram_teacher_crops", batch["global_crops"])
+        patches = dinov3_vit_apply(gram_backbone, vit_cfg, crops)["x_norm_patchtokens"]
+        n_t, n_s = patches.shape[1], (
+            batch["global_crops"].shape[1] // vit_cfg.patch_size
+        ) * (batch["global_crops"].shape[2] // vit_cfg.patch_size)
+        if n_t != n_s:
+            src = int(round(n_t**0.5))
+            dst = int(round(n_s**0.5))
+            patches = resize_gram_teacher_patches(
+                patches, (src, src), (dst, dst), method=resize_method
+            )
+        return base(
+            student, teacher, opt_state, centers, batch,
+            gram_teacher_patches=patches, **kw,
+        )
+
+    return step
+
+
 def make_distill_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, teacher_vit_cfg=None, axis_name=None):
     """One distillation step (distillation.enabled=true): the frozen
     pretrained teacher provides the targets and never moves; the EMA tracks

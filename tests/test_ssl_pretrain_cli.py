@@ -245,6 +245,83 @@ def test_pretrain_e2e_distillation(tmp_path):
     )
 
 
+def test_gram_step_anchors_on_frozen_teacher():
+    """make_gram_ssl_train_step: the frozen gram backbone's patches (incl.
+    the larger-crop resize path, get_gram_teacher_output:488-503) anchor
+    the loss; swapping the gram params changes gram_loss, everything else
+    fixed."""
+    from omgsr_tpu.models.configs import DinoV3ViTConfig
+    from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
+    from omgsr_tpu.training.ssl_meta_arch import (
+        SSLMetaConfig,
+        init_center_state,
+        init_ssl_student,
+        make_gram_ssl_train_step,
+    )
+
+    vit = DinoV3ViTConfig(embed_dim=32, depth=2, num_heads=2, patch_size=8)
+    meta = SSLMetaConfig(
+        n_local_crops=4,
+        dino_out_dim=64, dino_hidden_dim=32, dino_bottleneck_dim=16, dino_nlayers=2,
+        ibot_out_dim=64, ibot_hidden_dim=32, ibot_bottleneck_dim=16, ibot_nlayers=2,
+        gram_loss_weight=1.0,
+    )
+    student = init_ssl_student(jax.random.key(0), vit, meta, init_dinov3_vit)
+    teacher = jax.tree.map(jnp.copy, student)
+    gram_a = init_ssl_student(jax.random.key(1), vit, meta, init_dinov3_vit)["backbone"]
+    gram_b = init_ssl_student(jax.random.key(2), vit, meta, init_dinov3_vit)["backbone"]
+    lr_t, wd_t = ssl_param_groups(student, num_layers=vit.depth)
+    tx = make_ssl_optimizer(lr_t, wd_t)
+    opt_state = tx.init(student)
+    centers = init_center_state(meta)
+
+    rng = np.random.default_rng(0)
+    b, n = 2, (32 // 8) ** 2
+    masks = np.zeros((2 * b, n), bool)
+    masks[0, :6] = True
+    batch = {
+        "global_crops": jnp.asarray(rng.standard_normal((2 * b, 32, 32, 3)), jnp.float32),
+        "local_crops": jnp.asarray(rng.standard_normal((4 * b, 16, 16, 3)), jnp.float32),
+        # gram crops at 48px -> 6x6 patch grid, resized down to the 4x4 student grid
+        "gram_teacher_crops": jnp.asarray(
+            rng.standard_normal((2 * b, 48, 48, 3)), jnp.float32
+        ),
+        "masks": jnp.asarray(masks),
+    }
+    step = jax.jit(make_gram_ssl_train_step(tx, cfg=meta, vit_cfg=vit))
+    kw = dict(lr=1e-3, wd=0.04, teacher_temp=0.07, momentum=0.99)
+    _, _, _, _, m_a = step(student, teacher, gram_a, opt_state, centers, batch, **kw)
+    _, _, _, _, m_b = step(student, teacher, gram_b, opt_state, centers, batch, **kw)
+    assert np.isfinite(float(m_a["gram_loss"])) and float(m_a["gram_loss"]) > 0.0
+    assert not np.isclose(float(m_a["gram_loss"]), float(m_b["gram_loss"]))
+    # non-gram losses identical across gram teachers
+    np.testing.assert_allclose(
+        float(m_a["ibot_loss"]), float(m_b["ibot_loss"]), rtol=1e-6
+    )
+
+
+def test_pretrain_e2e_gram_teacher(tmp_path):
+    """CLI gram mode: frozen gram teacher, periodic EMA refresh, gram state
+    in the checkpoint."""
+    _write_images(tmp_path)
+    cfg = _tiny_cfg(
+        tmp_path,
+        epochs=1,
+        saveckp_freq=2,
+        gram_use_loss=True,
+        gram_teacher_crops_size=48,
+        gram_update_frequency=1,
+        gram_it_first_update=1,
+    )
+    out = run_pretraining(cfg)
+    assert out is not None
+    ckpt = os.path.join(cfg.output_dir, "checkpoints", "checkpoint-1")
+    assert os.path.isdir(ckpt)
+    # resume restores the gram slot too (template includes "gram")
+    out2 = run_pretraining(cfg)
+    assert out2 is not None
+
+
 def test_pretrain_e2e_and_resume(tmp_path):
     """4 tiny iterations end-to-end (sharded over the virtual mesh when
     present), then checkpoint layout, teacher export restorability, and a
