@@ -130,6 +130,9 @@ class SSLPretrainConfig:
     gram_it_load_ema_teacher: int = -1
     gram_max_updates: Optional[int] = None
     gram_resize_method: str = "bicubic"
+    # dict {start, peak, end, warmup_epochs[, cosine_epochs]} — replaces the
+    # static gram_loss_weight with a tabulated schedule (ssl_meta_arch:186-201)
+    gram_loss_weight_schedule: Any = None
     extra: dict = dataclasses.field(default_factory=dict)
 
 
@@ -155,7 +158,11 @@ def build_ssl_schedulers(cfg: SSLPretrainConfig, global_batch_size: int):
     """build_schedulers (train.py:102-152) + the lr scaling rule
     (config.py:40-55): tables for lr / wd / momentum / teacher_temp /
     last_layer_lr, all indexed by iteration with clamp-past-end."""
-    from omgsr_tpu.training.ssl import TabulatedSchedule, cosine_schedule
+    from omgsr_tpu.training.ssl import (
+        TabulatedSchedule,
+        cosine_schedule,
+        linear_warmup_cosine_decay,
+    )
 
     ep = cfg.official_epoch_length
     total = cfg.epochs * ep
@@ -179,12 +186,29 @@ def build_ssl_schedulers(cfg: SSLPretrainConfig, global_batch_size: int):
     )
     last_layer_table = lr_table.copy()
     last_layer_table[: cfg.freeze_last_layer_epochs * ep] = 0.0
+    gram_sched = None
+    if cfg.gram_loss_weight_schedule:
+        sc = dict(cfg.gram_loss_weight_schedule)
+        gram_sched = TabulatedSchedule(
+            linear_warmup_cosine_decay(
+                start=sc["start"],
+                peak=sc["peak"],
+                end=sc["end"],
+                warmup_iterations=int(sc["warmup_epochs"] * ep),
+                total_iterations=total,
+                cosine_iterations=(
+                    int(sc["cosine_epochs"] * ep) if "cosine_epochs" in sc else None
+                ),
+            ),
+            final_value=sc["end"],
+        )
     return {
         "lr": TabulatedSchedule(lr_table, final_value=lr_end),
         "wd": TabulatedSchedule(wd_table, final_value=cfg.weight_decay_end),
         "momentum": TabulatedSchedule(mom_table, final_value=cfg.final_momentum_teacher),
         "teacher_temp": TabulatedSchedule(temp_table, final_value=cfg.teacher_temp),
         "last_layer_lr": TabulatedSchedule(last_layer_table, final_value=lr_end),
+        "gram_weight": gram_sched,
     }
 
 
@@ -606,6 +630,11 @@ def run_pretraining(cfg: SSLPretrainConfig):
                 teacher_temp=sched["teacher_temp"][it],
                 momentum=sched["momentum"][it],
                 last_layer_lr=sched["last_layer_lr"][it],
+                **(
+                    {"gram_weight": sched["gram_weight"][it]}
+                    if sched["gram_weight"] is not None
+                    else {}
+                ),
             )
             if (
                 use_gram_teacher

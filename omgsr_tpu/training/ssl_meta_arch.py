@@ -199,6 +199,7 @@ def ssl_losses(
     teacher_temp,
     local_loss_weight=1.0,
     gram_teacher_patches=None,
+    gram_weight=None,
     teacher_vit_cfg=None,
     distillation=False,
     axis_name=None,
@@ -298,7 +299,10 @@ def ssl_losses(
             gram = masked_gram_loss(
                 s_g_patch, anchor, sel, remove_neg=cfg.gram_remove_neg
             )
-        total = total + cfg.gram_loss_weight * gram
+        # the loss_weight_schedule path (ssl_meta_arch.py:186-201) threads
+        # the tabulated weight in as a scalar; None -> the static config
+        w = cfg.gram_loss_weight if gram_weight is None else gram_weight
+        total = total + w * gram
         metrics["gram_loss"] = gram
 
     metrics["total_loss"] = total
@@ -332,7 +336,7 @@ def make_ssl_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, axis_name=None):
     tabulated schedules each iteration (train/train.py:418-440) with no
     retrace."""
 
-    def step(student, teacher, opt_state, centers, batch, *, lr, wd, teacher_temp, momentum, local_loss_weight=1.0, last_layer_lr=None, gram_teacher_patches=None):
+    def step(student, teacher, opt_state, centers, batch, *, lr, wd, teacher_temp, momentum, local_loss_weight=1.0, last_layer_lr=None, gram_teacher_patches=None, gram_weight=None):
         def loss_fn(p):
             return ssl_losses(
                 p,
@@ -344,6 +348,7 @@ def make_ssl_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, axis_name=None):
                 teacher_temp=teacher_temp,
                 local_loss_weight=local_loss_weight,
                 gram_teacher_patches=gram_teacher_patches,
+                gram_weight=gram_weight,
                 axis_name=axis_name,
             )
 
@@ -403,7 +408,7 @@ def make_distill_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, teacher_vit_cfg=
     :131-141). Same losses, optimizer and schedule plumbing as the SSL
     step; the student's global forward skips the mask-token swap (:533)."""
 
-    def step(student, teacher, model_ema, opt_state, centers, batch, *, lr, wd, teacher_temp, momentum, local_loss_weight=1.0, last_layer_lr=None):
+    def step(student, teacher, model_ema, opt_state, centers, batch, *, lr, wd, teacher_temp, momentum, local_loss_weight=1.0, last_layer_lr=None, gram_weight=None):
         def loss_fn(p):
             return ssl_losses(
                 p,
@@ -415,6 +420,7 @@ def make_distill_train_step(tx, *, cfg: SSLMetaConfig, vit_cfg, teacher_vit_cfg=
                 teacher_vit_cfg=teacher_vit_cfg,
                 teacher_temp=teacher_temp,
                 local_loss_weight=local_loss_weight,
+                gram_weight=gram_weight,
                 distillation=True,
                 axis_name=axis_name,
             )

@@ -102,6 +102,17 @@ def test_schedulers_match_reference_wiring():
     np.testing.assert_allclose(
         build_ssl_schedulers(cfg2, 256)["lr"][10], 0.004, rtol=1e-6
     )
+    # gram loss-weight schedule (ssl_meta_arch.py:186-201 wiring)
+    assert sched["gram_weight"] is None
+    cfg3 = dataclasses.replace(
+        cfg,
+        gram_loss_weight_schedule={"start": 0.0, "peak": 2.0, "end": 1.0, "warmup_epochs": 1},
+    )
+    g = build_ssl_schedulers(cfg3, 256)["gram_weight"]
+    np.testing.assert_allclose(g[0], 0.0)
+    np.testing.assert_allclose(g[10], 2.0, rtol=1e-6)
+    np.testing.assert_allclose(g[39], 1.0, atol=2e-2)
+    np.testing.assert_allclose(g[100], 1.0)
 
 
 def test_last_layer_freeze_group():
@@ -312,6 +323,9 @@ def test_pretrain_e2e_gram_teacher(tmp_path):
         gram_teacher_crops_size=48,
         gram_update_frequency=1,
         gram_it_first_update=1,
+        gram_loss_weight_schedule={
+            "start": 0.0, "peak": 1.0, "end": 0.5, "warmup_epochs": 1
+        },
     )
     out = run_pretraining(cfg)
     assert out is not None
