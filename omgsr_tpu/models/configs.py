@@ -195,6 +195,12 @@ class DinoV3ViTConfig:
     rope_normalize_coords: str = "separate"  # "separate" | "min" | "max"
     untie_cls_and_patch_norms: bool = False
     in_chans: int = 3
+    # rematerialize each transformer block under grad (SSL pretraining
+    # memory lever, measured on one v5e @224 global + 8x96 local crops:
+    # vitl16 fits bs 8 without remat (0.30 s/it, 26.5 imgs/s; bs 16 OOMs at
+    # 16.1/15.75 GB) and bs 16/24 with (0.62/1.0 s/it, ~25 imgs/s) — use it
+    # when the global-batch recipe needs >8 per chip; no effect on inference)
+    remat_blocks: bool = False
 
     @property
     def head_dim(self) -> int:

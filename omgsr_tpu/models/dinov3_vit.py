@@ -207,8 +207,11 @@ def dinov3_vit_apply(params, cfg: DinoV3ViTConfig, x, masks=None):
     x, (h, w) = _prepare_tokens(params, cfg, x, masks)
     n_prefix = 1 + cfg.n_storage_tokens
     sincos = rope_sincos(params, cfg, h, w)
+    block = _block
+    if cfg.remat_blocks:
+        block = jax.checkpoint(_block, static_argnums=(3, 4))
     for i in range(cfg.depth):
-        x = _block(params["blocks"][str(i)], x, sincos, n_prefix, cfg)
+        x = block(params["blocks"][str(i)], x, sincos, n_prefix, cfg)
     if cfg.untie_cls_and_patch_norms:
         cls_reg = layer_norm(params["cls_norm"], x[:, :n_prefix], cfg.norm_eps)
         patch = layer_norm(params["norm"], x[:, n_prefix:], cfg.norm_eps)

@@ -197,3 +197,28 @@ def test_published_size_param_counts():
     assert 299e6 < n_params("vitl16") < 305e6
     assert 6.6e9 < n_params("vit7b16") < 6.8e9
     assert 85e6 < n_params("vitb16") < 87e6
+
+
+def test_remat_blocks_preserves_values_and_grads():
+    """cfg.remat_blocks is a pure memory lever: forward values and grads
+    are bitwise-stable vs the unremat'd graph (jax.checkpoint semantics)."""
+    import dataclasses
+
+    from omgsr_tpu.models.dinov3_vit import dinov3_vit_apply, init_dinov3_vit
+
+    cfg = DinoV3ViTConfig(embed_dim=32, depth=2, num_heads=2, patch_size=8)
+    cfg_r = dataclasses.replace(cfg, remat_blocks=True)
+    params = init_dinov3_vit(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+
+    def loss(p, c):
+        out = dinov3_vit_apply(p, c, x)
+        return jnp.sum(out["x_norm_clstoken"] ** 2) + jnp.sum(
+            out["x_norm_patchtokens"] ** 2
+        )
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, cfg_r))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -28,17 +28,28 @@ REF_ROOT = "/root/reference/dinov3_gan/facebookresearch_dinov3_main"
 
 def _load_ref_samplers():
     # samplers.py imports `from dinov3.distributed import get_rank, ...` —
-    # stub that package so the module loads standalone.
+    # stub that package so the module loads standalone, and RESTORE
+    # sys.modules afterwards (a lingering non-package "dinov3" stub breaks
+    # test_ssl_losses's real `dinov3.loss` package import in-process; the
+    # loaded module keeps its references to the stubbed functions).
     fake = types.ModuleType("dinov3.distributed")
     fake.get_rank = lambda: 0
     fake.get_world_size = lambda: 1
+    saved = {k: sys.modules.get(k) for k in ("dinov3", "dinov3.distributed")}
     sys.modules.setdefault("dinov3", types.ModuleType("dinov3"))
     sys.modules["dinov3.distributed"] = fake
-    spec = importlib.util.spec_from_file_location(
-        "ref_samplers", f"{REF_ROOT}/dinov3/data/samplers.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_samplers", f"{REF_ROOT}/dinov3/data/samplers.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
     return mod
 
 
