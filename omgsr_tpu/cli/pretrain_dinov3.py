@@ -84,9 +84,13 @@ class SSLPretrainConfig:
     warmup_teacher_temp: float = 0.04
     teacher_temp: float = 0.07
     warmup_teacher_temp_epochs: int = 30
-    # crops (yaml crops.*)
-    global_crops_size: int = 224
-    local_crops_size: int = 96
+    # crops (yaml crops.*); the three sizes accept equal-length LISTS for
+    # multi-resolution pretraining (train.py:334-380): each iteration's
+    # batch is drawn from one resolution with probability
+    # global_local_crop_pairs_ratios — one cached XLA graph per resolution
+    global_crops_size: Any = 224
+    local_crops_size: Any = 96
+    global_local_crop_pairs_ratios: Any = 1.0
     global_crops_scale: Any = (0.32, 1.0)
     local_crops_scale: Any = (0.05, 0.32)
     local_crops_number: int = 8
@@ -597,7 +601,52 @@ def run_pretraining(cfg: SSLPretrainConfig):
         if gram_backbone is not None:
             gram_backbone = jax.device_put(gram_backbone, repl)
 
-    loader = SSLLoader(cfg, start_iter=start_iter)
+    # multi-resolution loaders (train.py:334-380): one SSLLoader per crop
+    # resolution, iteration-deterministic ratio sampling (reproducible on
+    # resume by replaying the choice stream and advancing each loader by
+    # its consumed count)
+    sizes_g = (
+        list(cfg.global_crops_size)
+        if isinstance(cfg.global_crops_size, (list, tuple))
+        else [cfg.global_crops_size]
+    )
+    sizes_l = (
+        list(cfg.local_crops_size)
+        if isinstance(cfg.local_crops_size, (list, tuple))
+        else [cfg.local_crops_size] * len(sizes_g)
+    )
+    sizes_gt = (
+        list(cfg.gram_teacher_crops_size)
+        if isinstance(cfg.gram_teacher_crops_size, (list, tuple))
+        else [cfg.gram_teacher_crops_size] * len(sizes_g)
+    )
+    ratios = cfg.global_local_crop_pairs_ratios
+    ratios = (
+        list(ratios) if isinstance(ratios, (list, tuple)) else [ratios] * len(sizes_g)
+    )
+    if not len(sizes_g) == len(sizes_l) == len(sizes_gt) == len(ratios):
+        raise ValueError("crop size / ratio lists must have equal lengths")
+    probs = np.asarray(ratios, np.float64)
+    probs = probs / probs.sum()
+
+    def _pick(i: int) -> int:
+        if len(probs) == 1:
+            return 0
+        return int(np.random.default_rng((cfg.seed, 7919, i)).choice(len(probs), p=probs))
+
+    consumed = [0] * len(probs)
+    for i in range(start_iter):
+        consumed[_pick(i)] += 1
+    loaders = []
+    for inc, (g, l, gt) in enumerate(zip(sizes_g, sizes_l, sizes_gt)):
+        cfg_i = dataclasses.replace(
+            cfg,
+            global_crops_size=g,
+            local_crops_size=l,
+            gram_teacher_crops_size=gt,
+            seed=cfg.seed + (inc + 1 if len(probs) > 1 else 0),
+        )
+        loaders.append(SSLLoader(cfg_i, start_iter=consumed[inc]))
     mlog = MetricLogger()
     t0 = time.time()
     it = start_iter - 1  # loop may be empty on resume-at-end
@@ -607,7 +656,7 @@ def run_pretraining(cfg: SSLPretrainConfig):
                 # load the EMA teacher into the gram teacher (train.py:473-475)
                 logger.info("loading EMA teacher into gram teacher at it %d", it)
                 gram_backbone = jax.tree.map(jnp.copy, teacher["backbone"])
-            batch_np = next(loader)
+            batch_np = next(loaders[_pick(it)])
             batch = {
                 k: jnp.asarray(
                     v, dtype if np.issubdtype(np.asarray(v).dtype, np.floating) else None
@@ -672,7 +721,8 @@ def run_pretraining(cfg: SSLPretrainConfig):
                 save_train_state(cfg.output_dir, state, it)
                 export_teacher_backbone(cfg.output_dir, it, teacher)
     finally:
-        loader.close()
+        for ld in loaders:
+            ld.close()
     logger.info("pretraining done at iteration %d", it + 1)
     return {"student": student, "teacher": teacher, "opt": opt_state, "centers": centers}
 

@@ -336,6 +336,52 @@ def test_pretrain_e2e_gram_teacher(tmp_path):
     assert out2 is not None
 
 
+def test_pretrain_multires_resume_matches_straight_run(tmp_path):
+    """Multi-resolution loaders (train.py:334-380): ratio-sampled batches
+    across two crop resolutions, and a split run (2 iters + resume 2 more)
+    reproduces the straight 4-iter run exactly — choice stream and
+    per-loader advance are deterministic."""
+    _write_images(tmp_path)
+    # constant schedules: the cosine tables span epochs*ep, so a shorter
+    # first leg would otherwise train its shared iterations under different
+    # wd/momentum values than the straight run (resume assumes the SAME
+    # config; this isolates the data-stream/state replay under test)
+    multires = dict(
+        global_crops_size=[32, 48],
+        local_crops_size=[16, 16],
+        global_local_crop_pairs_ratios=[2, 1],
+        saveckp_freq=10,
+        warmup_epochs=0,
+        freeze_last_layer_epochs=0,
+        min_lr=0.004,
+        scaling_rule="none",
+        weight_decay_end=0.04,
+        final_momentum_teacher=0.992,
+        warmup_teacher_temp_epochs=0,
+    )
+    cfg_a = _tiny_cfg(tmp_path, **multires)
+    cfg_a.output_dir = str(tmp_path / "straight")
+    out_a = run_pretraining(cfg_a)
+
+    cfg_b1 = _tiny_cfg(tmp_path, epochs=1, **multires)
+    cfg_b1.output_dir = str(tmp_path / "split")
+    run_pretraining(cfg_b1)
+    cfg_b2 = _tiny_cfg(tmp_path, **multires)  # epochs=2 resumes at it 2
+    cfg_b2.output_dir = cfg_b1.output_dir
+    out_b = run_pretraining(cfg_b2)
+
+    np.testing.assert_allclose(
+        np.asarray(out_a["student"]["dino_head"]["mlp"]["0"]["kernel"]),
+        np.asarray(out_b["student"]["dino_head"]["mlp"]["0"]["kernel"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["teacher"]["backbone"]["cls_token"]),
+        np.asarray(out_b["teacher"]["backbone"]["cls_token"]),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_pretrain_e2e_and_resume(tmp_path):
     """4 tiny iterations end-to-end (sharded over the virtual mesh when
     present), then checkpoint layout, teacher export restorability, and a
