@@ -115,6 +115,14 @@ class SSLPretrainConfig:
     koleo_loss_weight: float = 0.1
     ibot_loss_weight: float = 1.0
     centering: str = "sinkhorn_knopp"
+    # in-train eval (yaml evaluation.eval_period_iterations; the reference
+    # submits eval jobs there, train.py:555-560 — here a k-NN probe runs
+    # in-process on a dir-per-class ImageFolder pair)
+    eval_period_iterations: int = 0
+    eval_knn_train_dir: str = ""
+    eval_knn_val_dir: str = ""
+    eval_resize_size: int = 256
+    eval_crop_size: int = 224
     # distillation (yaml distillation.*): frozen pretrained teacher; the
     # checkpoint is a hub backbone .pth (heads stay at init unless resumed)
     distillation_enabled: bool = False
@@ -403,6 +411,76 @@ def _meta_cfg(cfg: SSLPretrainConfig):
         gram_tokens_used=cfg.gram_tokens_used,
         gram_ema_teacher=cfg.gram_ema_teacher,
     )
+
+
+def run_knn_eval(
+    backbone,
+    vit_cfg,
+    train_dir: str,
+    val_dir: str,
+    *,
+    ks=(10, 20),
+    batch_size: int = 32,
+    resize_size: int = 256,
+    crop_size: int = 224,
+):
+    """In-train k-NN probe over dir-per-class ImageFolder splits: EMA
+    teacher CLS features (L2-normalized), temperature-weighted vote
+    (eval/probes.knn_classify == the reference KnnModule). Returns
+    {f"knn_top1_k{k}": acc}."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from omgsr_tpu.eval.probes import (
+        extract_features,
+        knn_classify,
+        make_eval_transform,
+    )
+    from omgsr_tpu.models.dinov3_vit import dinov3_vit_apply
+
+    def load_split(d):
+        classes = sorted(
+            x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x))
+        )
+        imgs, labels = [], []
+        for ci, c in enumerate(classes):
+            cd = os.path.join(d, c)
+            for f in sorted(os.listdir(cd)):
+                with Image.open(os.path.join(cd, f)) as im:
+                    imgs.append(im.convert("RGB"))
+                labels.append(ci)
+        return imgs, np.asarray(labels), classes
+
+    tr_imgs, tr_labels, classes = load_split(train_dir)
+    va_imgs, va_labels, _ = load_split(val_dir)
+
+    # params as a jit ARG (captured-constant big trees break the
+    # remote-compile transport; see CLAUDE.md)
+    @jax.jit
+    def feat_fn(p, x):
+        cls = dinov3_vit_apply(p, vit_cfg, x)["x_norm_clstoken"].astype(jnp.float32)
+        return cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12)
+
+    transform = make_eval_transform(resize_size, crop_size)
+    tr_f = extract_features(
+        lambda x: feat_fn(backbone, x), tr_imgs, batch_size, transform
+    )
+    va_f = extract_features(
+        lambda x: feat_fn(backbone, x), va_imgs, batch_size, transform
+    )
+    usable_ks = [k for k in ks if k <= len(tr_labels)] or [len(tr_labels)]
+    probs = knn_classify(
+        jnp.asarray(tr_f),
+        jnp.asarray(tr_labels),
+        jnp.asarray(va_f),
+        ks=usable_ks,
+        num_classes=len(classes),
+    )
+    return {
+        f"knn_top1_k{k}": float(np.mean(np.asarray(jnp.argmax(p, -1)) == va_labels))
+        for k, p in probs.items()
+    }
 
 
 def export_teacher_backbone(output_dir: str, iteration: int, teacher):
@@ -708,6 +786,29 @@ def run_pretraining(cfg: SSLPretrainConfig):
                     it + 1, total_iters, mlog, sched["lr"][it],
                     (time.time() - t0) / max(it + 1 - start_iter, 1),
                 )
+            if (
+                cfg.eval_period_iterations > 0
+                and cfg.eval_knn_train_dir
+                and ((it + 1) % cfg.eval_period_iterations == 0 or it + 1 == total_iters)
+            ):
+                accs = run_knn_eval(
+                    teacher["backbone"],
+                    vit_cfg,
+                    cfg.eval_knn_train_dir,
+                    cfg.eval_knn_val_dir or cfg.eval_knn_train_dir,
+                    resize_size=cfg.eval_resize_size,
+                    crop_size=cfg.eval_crop_size,
+                )
+                logger.info(
+                    "eval it %d | %s", it + 1,
+                    " ".join(f"{k}={v:.4f}" for k, v in accs.items()),
+                )
+                eval_dir = os.path.join(cfg.output_dir, "eval")
+                os.makedirs(eval_dir, exist_ok=True)
+                import json
+
+                with open(os.path.join(eval_dir, f"knn-{it}.json"), "w") as f:
+                    json.dump(accs, f)
             if (it + 1) % cfg.saveckp_freq == 0 or it + 1 == total_iters:
                 state = {
                     "student": student,

@@ -336,6 +336,41 @@ def test_pretrain_e2e_gram_teacher(tmp_path):
     assert out2 is not None
 
 
+def test_pretrain_inline_knn_eval(tmp_path):
+    """eval_period_iterations hook: k-NN probe on a dir-per-class pair runs
+    in-train and writes eval/knn-*.json with top-1 accuracies."""
+    import json
+
+    from PIL import Image
+
+    _write_images(tmp_path)
+    rng = np.random.default_rng(1)
+    for split in ("eval_train", "eval_val"):
+        for ci, color in enumerate([(220, 40, 40), (40, 40, 220)]):
+            d = tmp_path / split / f"class{ci}"
+            d.mkdir(parents=True)
+            for i in range(4):
+                arr = np.full((40, 40, 3), color, np.uint8)
+                arr = np.clip(
+                    arr.astype(np.int16) + rng.integers(-30, 30, arr.shape), 0, 255
+                ).astype(np.uint8)
+                Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    cfg = _tiny_cfg(
+        tmp_path,
+        epochs=1,
+        eval_period_iterations=2,
+        eval_knn_train_dir=str(tmp_path / "eval_train"),
+        eval_knn_val_dir=str(tmp_path / "eval_val"),
+        eval_resize_size=36,
+        eval_crop_size=32,
+    )
+    run_pretraining(cfg)
+    path = os.path.join(cfg.output_dir, "eval", "knn-1.json")
+    assert os.path.exists(path)
+    accs = json.load(open(path))
+    assert accs and all(0.0 <= v <= 1.0 for v in accs.values())
+
+
 def test_pretrain_multires_resume_matches_straight_run(tmp_path):
     """Multi-resolution loaders (train.py:334-380): ratio-sampled batches
     across two crop resolutions, and a split run (2 iters + resume 2 more)
