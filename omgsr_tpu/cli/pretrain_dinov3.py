@@ -63,6 +63,10 @@ class SSLPretrainConfig:
     sampler: str = "infinite"  # infinite | sharded_infinite | epoch
     # student backbone
     arch: str = "vits16"  # key into models.configs.VIT_SIZES
+    # hub .pth to initialize the student backbone from (the reference's
+    # student.resume_from_teacher_chkpt, ssl_meta_arch.py:326-333 — the
+    # high-res-adaptation entry point; the EMA teacher starts as a copy)
+    student_init_checkpoint: str = ""
     # optim (yaml optim.*)
     epochs: int = 100
     warmup_epochs: int = 10
@@ -185,7 +189,8 @@ def build_ssl_schedulers(cfg: SSLPretrainConfig, global_batch_size: int):
     elif cfg.scaling_rule == "linear_wrt_256":
         s = global_batch_size / 256.0
         lr_peak, lr_end = lr_peak * s, lr_end * s
-    lr_table = cosine_schedule(lr_peak, lr_end, total, cfg.warmup_epochs * ep)
+    # clamp warmup into the run (short debug runs with epochs < warmup_epochs)
+    lr_table = cosine_schedule(lr_peak, lr_end, total, min(cfg.warmup_epochs * ep, total))
     wd_table = cosine_schedule(cfg.weight_decay, cfg.weight_decay_end, total)
     mom_table = cosine_schedule(cfg.momentum_teacher, cfg.final_momentum_teacher, total)
     temp_total = max(cfg.warmup_teacher_temp_epochs * ep, 1)
@@ -548,6 +553,11 @@ def run_pretraining(cfg: SSLPretrainConfig):
     # frozen pretrained model provides the targets, ssl_meta_arch.py:131-141)
     key = jax.random.key(cfg.seed)
     student = init_ssl_student(key, vit_cfg, meta_cfg, init_dinov3_vit)
+    if cfg.student_init_checkpoint:
+        from omgsr_tpu.convert import port_dinov3_vit
+
+        student["backbone"] = port_dinov3_vit(cfg.student_init_checkpoint, cfg=vit_cfg)
+        logger.info("student backbone initialized from %s", cfg.student_init_checkpoint)
     use_gram_teacher = cfg.gram_use_loss and not cfg.gram_ema_teacher
     if use_gram_teacher and cfg.distillation_enabled:
         raise NotImplementedError(
