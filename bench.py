@@ -457,10 +457,20 @@ def main():
     # ---- section 9: DINOv3 SSL pretraining step ------------------------------
     # vitl16 (304M, the published L-size recipe shape) full SSL step on one
     # chip: 2x224 global + 8x96 local crops, 65536-d DINO/iBOT heads,
-    # masked sinkhorn, KoLeo, AdamW + EMA — bs 8 (largest that fits without
-    # remat; see models/configs.py remat_blocks for the memory lever).
+    # masked sinkhorn, KoLeo, AdamW + EMA — bs 8 with per-block remat (bs 8
+    # fits WITHOUT remat on an empty chip at 0.30 s/it, but the bench's
+    # resident -S pipeline shares HBM; remat keeps the section robust).
     # OMGSR_BENCH_SSL=0 disables.
     def run_ssl():
+        # last section: drop every cached executable + captured constant from
+        # the earlier sections (the resident -S pipeline etc.) so the 304M
+        # teacher+student+AdamW state and remat'd activations fit HBM
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
         from omgsr_tpu.models.configs import VIT_SIZES
         from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
         from omgsr_tpu.training.ssl import (
@@ -471,7 +481,9 @@ def main():
             make_ssl_train_step,
         )
 
-        vit = VIT_SIZES["vitl16"]
+        from dataclasses import replace as _replace
+
+        vit = _replace(VIT_SIZES["vitl16"], remat_blocks=True)
         meta = SSLMetaConfig()
         bs = int(os.environ.get("OMGSR_BENCH_SSL_BS", "8"))
         student = init_ssl_student(jax.random.key(40), vit, meta, init_dinov3_vit)
@@ -503,7 +515,7 @@ def main():
         return _timed(ssl_step, fresh_ssl, lambda loss: float(loss), iters=3)
 
     if os.environ.get("OMGSR_BENCH_SSL", "1") == "1":
-        _section("ssl_pretrain_vitl16_bs8_s_per_step", extras, primary, run_ssl)
+        _section("ssl_pretrain_vitl16_bs8_remat_s_per_step", extras, primary, run_ssl)
 
 
 

@@ -1,0 +1,213 @@
+"""DPT depther (eval/depth.py) vs the ACTUAL vendored torch implementation
+(dinov3/eval/dense/depth/models/dpt_head.py), through the production porter
+— same independence standard as the ViT tests."""
+
+import importlib.util
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from omgsr_tpu.eval.depth import (
+    DPTConfig,
+    backbone_out_indices,
+    bilinear_resize,
+    center_pad,
+    dpt_head_apply,
+    features_to_depth,
+    init_dpt_head,
+    make_depther,
+    port_dpt_state,
+)
+
+REF = "/root/reference/dinov3_gan/facebookresearch_dinov3_main/dinov3/eval/dense/depth/models/dpt_head.py"
+
+TINY = DPTConfig(
+    in_channels=(32, 32, 32, 32),
+    channels=16,
+    post_process_channels=(8, 12, 16, 24),
+    n_output_channels=8,
+    n_hidden_channels=6,
+)
+
+
+def _load_ref_dpt():
+    spec = importlib.util.spec_from_file_location("ref_dpt_head", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_head():
+    mod = _load_ref_dpt()
+    torch.manual_seed(0)
+    head = mod.DPTHead(
+        in_channels=list(TINY.in_channels),
+        channels=TINY.channels,
+        post_process_channels=list(TINY.post_process_channels),
+        readout_type="project",
+        n_output_channels=TINY.n_output_channels,
+    )
+    # UpConvHead hidden width is fixed at 32 upstream; rebuild with the tiny
+    # width for a fast test
+    head.conv_depth = mod.UpConvHead(
+        TINY.channels, TINY.n_output_channels, n_hidden_channels=TINY.n_hidden_channels
+    )
+    head.eval()
+    return head
+
+
+def _rand_feats(rng, b=2, h=4, w=4):
+    return [
+        (
+            rng.standard_normal((b, h, w, c)).astype(np.float32),
+            rng.standard_normal((b, c)).astype(np.float32),
+        )
+        for c in TINY.in_channels
+    ]
+
+
+def test_dpt_head_matches_torch(ref_head):
+    rng = np.random.default_rng(0)
+    feats = _rand_feats(rng)
+    params = port_dpt_state(ref_head.state_dict())
+    out_j = np.asarray(
+        dpt_head_apply(params, TINY, [(jnp.asarray(x), jnp.asarray(c)) for x, c in feats])
+    )
+    with torch.no_grad():
+        t_in = [
+            (torch.from_numpy(x).permute(0, 3, 1, 2).contiguous(), torch.from_numpy(c))
+            for x, c in feats
+        ]
+        out_t = ref_head(t_in).permute(0, 2, 3, 1).numpy()
+    assert out_j.shape == out_t.shape
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-5)
+
+
+def test_dpt_head_readout_ignore_matches_torch():
+    mod = _load_ref_dpt()
+    torch.manual_seed(1)
+    cfg = DPTConfig(
+        in_channels=TINY.in_channels,
+        channels=TINY.channels,
+        post_process_channels=TINY.post_process_channels,
+        readout_type="ignore",
+        n_output_channels=4,
+        n_hidden_channels=6,
+    )
+    head = mod.DPTHead(
+        in_channels=list(cfg.in_channels),
+        channels=cfg.channels,
+        post_process_channels=list(cfg.post_process_channels),
+        readout_type="ignore",
+        n_output_channels=cfg.n_output_channels,
+    )
+    head.conv_depth = mod.UpConvHead(cfg.channels, cfg.n_output_channels, 6)
+    head.eval()
+    rng = np.random.default_rng(2)
+    feats = _rand_feats(rng, h=6, w=4)
+    params = port_dpt_state(head.state_dict())
+    out_j = np.asarray(
+        dpt_head_apply(params, cfg, [(jnp.asarray(x), jnp.asarray(c)) for x, c in feats])
+    )
+    with torch.no_grad():
+        t_in = [
+            (torch.from_numpy(x).permute(0, 3, 1, 2).contiguous(), torch.from_numpy(c))
+            for x, c in feats
+        ]
+        out_t = head(t_in).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("bins,norm", [
+    ("linear", "linear"), ("log", "softmax"), ("linear", "sigmoid"),
+])
+def test_features_to_depth_matches_torch(bins, norm):
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location(
+        "ref_depth_init",
+        "/root/reference/dinov3_gan/facebookresearch_dinov3_main/dinov3/eval/dense/depth/models/__init__.py",
+    )
+    # the models __init__ imports dinov3.* — replicate FeaturesToDepth math
+    # directly against torch instead of importing the package
+    x = np.random.default_rng(3).standard_normal((2, 5, 6, 7)).astype(np.float32)
+    out_j = np.asarray(
+        features_to_depth(jnp.asarray(x), 0.01, 10.0, bins, norm)
+    )
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    n_bins = xt.shape[1]
+    if bins == "linear":
+        bt = torch.linspace(0.01, 10.0, n_bins)
+    else:
+        bt = torch.exp(torch.linspace(np.log(0.01), np.log(10.0), n_bins))
+    if norm == "linear":
+        logit = torch.relu(xt) + 0.1
+        logit = logit / logit.sum(1, keepdim=True)
+    elif norm == "softmax":
+        logit = torch.softmax(xt, 1)
+    else:
+        logit = torch.sigmoid(xt)
+        logit = logit / logit.sum(1, keepdim=True)
+    out_t = torch.einsum("ikmn,k->imn", logit, bt).unsqueeze(1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=1e-5, atol=1e-6)
+    # regression path
+    x1 = x[..., :1]
+    np.testing.assert_allclose(
+        np.asarray(features_to_depth(jnp.asarray(x1), 0.5, 10.0)),
+        np.maximum(x1, 0) + 0.5, rtol=1e-6,
+    )
+
+
+def test_bilinear_resize_matches_torch():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    for ac, size in [(True, (10, 14)), (False, (10, 14)), (False, (3, 4)), (True, (9, 6))]:
+        out_t = (
+            torch.nn.functional.interpolate(xt, size=size, mode="bilinear", align_corners=ac)
+            .permute(0, 2, 3, 1).numpy()
+        )
+        out_j = np.asarray(bilinear_resize(jnp.asarray(x), size, ac))
+        np.testing.assert_allclose(out_j, out_t, rtol=1e-5, atol=1e-6, err_msg=f"ac={ac} {size}")
+
+
+def test_backbone_out_indices_reference_values():
+    assert backbone_out_indices(12) == [2, 5, 8, 11]
+    assert backbone_out_indices(24) == [4, 11, 17, 23]  # the ViT-L quirk
+    assert backbone_out_indices(40) == [9, 19, 29, 39]
+    assert backbone_out_indices(12, "LAST") == [11]
+    assert backbone_out_indices(12, "FOUR_LAST") == [8, 9, 10, 11]
+    assert backbone_out_indices(12, [1, 3]) == [1, 3]
+
+
+def test_center_pad_matches_torch():
+    x = np.random.default_rng(5).standard_normal((1, 13, 18, 3)).astype(np.float32)
+    out = center_pad(jnp.asarray(x), 16)
+    assert out.shape == (1, 16, 32, 3)
+    # torch CenterPadding: left pad = pad // 2
+    np.testing.assert_allclose(np.asarray(out)[0, 1:14, 7:25], x[0])
+    assert float(np.abs(np.asarray(out)[0, 0]).sum()) == 0.0
+
+
+def test_depther_end_to_end_tiny_vit():
+    from omgsr_tpu.models.configs import DinoV3ViTConfig
+    from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
+
+    vit = DinoV3ViTConfig(embed_dim=32, depth=4, num_heads=2, patch_size=8)
+    bb = init_dinov3_vit(jax.random.key(0), vit)
+    cfg = TINY
+    head = init_dpt_head(jax.random.key(1), cfg)
+    depther = make_depther(
+        bb, vit, head, cfg, min_depth=0.01, max_depth=10.0,
+    )
+    x = jax.random.normal(jax.random.key(2), (1, 61, 66, 3))  # pads to 64x72
+    out = jax.jit(depther)(x)
+    # patch grid (8, 9); the fusion stream starts at the stride-2 top map
+    # (4, 5) and doubles 4x -> (64, 80); conv_depth doubles once more
+    assert out.shape == (1, 128, 160, 1)
+    assert bool(jnp.all(jnp.isfinite(out))) and bool(jnp.all(out >= 0.01))
