@@ -515,7 +515,13 @@ def main():
         return _timed(ssl_step, fresh_ssl, lambda loss: float(loss), iters=3)
 
     if os.environ.get("OMGSR_BENCH_SSL", "1") == "1":
-        _section("ssl_pretrain_vitl16_bs8_remat_s_per_step", extras, primary, run_ssl)
+        # the tunnel throws transient ResourceExhausted under sustained load
+        # (CLAUDE.md) — retry once like the primary section
+        for _ssl_attempt in (0, 1):
+            _section("ssl_pretrain_vitl16_bs8_remat_s_per_step", extras, primary, run_ssl)
+            if "ssl_pretrain_vitl16_bs8_remat_s_per_step" in extras:
+                break
+            time.sleep(20)
 
 
 

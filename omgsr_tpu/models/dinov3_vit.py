@@ -234,12 +234,16 @@ def get_intermediate_layers(
     reshape: bool = False,
     norm: bool = True,
     return_class_token: bool = False,
+    return_extra_tokens: bool = False,
 ):
     """Patch-token maps from the last n (or listed) blocks
     (vision_transformer.py:265-318). reshape=True returns NHWC maps at
     stride patch_size — the ViT analogue of convnext_features.
     return_class_token=True yields (patch, cls) pairs per block — the
-    layout the linear-probe evaluator consumes (eval/linear.py:148-160)."""
+    layout the linear-probe evaluator consumes (eval/linear.py:148-160).
+    return_extra_tokens=True appends the storage/register tokens
+    (B, R, D) to each tuple — the dinotxt vision tower's input layout
+    (eval/text/vision_tower.py:127-137)."""
     tokens, (h, w) = _prepare_tokens(params, cfg, x)
     n_prefix = 1 + cfg.n_storage_tokens
     sincos = rope_sincos(params, cfg, h, w)
@@ -269,8 +273,12 @@ def get_intermediate_layers(
     if reshape:
         b = x.shape[0]
         patches = [p.reshape(b, h, w, cfg.embed_dim) for p in patches]
+    if return_class_token and return_extra_tokens:
+        return [(p, o[:, 0], o[:, 1:n_prefix]) for p, o in zip(patches, outs)]
     if return_class_token:
         return [(p, o[:, 0]) for p, o in zip(patches, outs)]
+    if return_extra_tokens:
+        return [(p, o[:, 1:n_prefix]) for p, o in zip(patches, outs)]
     return patches
 
 
