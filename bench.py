@@ -164,6 +164,77 @@ def main():
 
     gc.collect()
 
+    # ---- section 1b: DINOv3 SSL pretraining step ------------------------------
+    # vitl16 (304M, the published L-size recipe shape) full SSL step on one
+    # chip: 2x224 global + 8x96 local crops, 65536-d DINO/iBOT heads,
+    # masked sinkhorn, KoLeo, AdamW + EMA — bs 8 with per-block remat.
+    # Runs EARLY (right after the 12B frees): the tunnel throws
+    # ResourceExhausted for this section when it runs last after ~20 min of
+    # sustained load, while the identical program passes standalone.
+    # OMGSR_BENCH_SSL=0 disables.
+    def run_ssl():
+        # last section: drop every cached executable + captured constant from
+        # the earlier sections (the resident -S pipeline etc.) so the 304M
+        # teacher+student+AdamW state and remat'd activations fit HBM
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
+        from omgsr_tpu.models.configs import VIT_SIZES
+        from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
+        from omgsr_tpu.training.ssl import (
+            last_layer_mask, make_ssl_optimizer, ssl_param_groups,
+        )
+        from omgsr_tpu.training.ssl_meta_arch import (
+            SSLMetaConfig, init_center_state, init_ssl_student,
+            make_ssl_train_step,
+        )
+
+        from dataclasses import replace as _replace
+
+        vit = _replace(VIT_SIZES["vitl16"], remat_blocks=True)
+        meta = SSLMetaConfig()
+        bs = int(os.environ.get("OMGSR_BENCH_SSL_BS", "8"))
+        student = init_ssl_student(jax.random.key(40), vit, meta, init_dinov3_vit)
+        teacher = jax.tree.map(jnp.copy, student)
+        lr_t, wd_t = ssl_param_groups(
+            student, lr_decay_rate=0.9, num_layers=vit.depth, patch_embed_lr_mult=0.2
+        )
+        tx = make_ssl_optimizer(lr_t, wd_t, last_layer_mask_tree=last_layer_mask(student))
+        state = [student, teacher, tx.init(student), init_center_state(meta)]
+        n_tok = (224 // vit.patch_size) ** 2
+        step = jax.jit(make_ssl_train_step(tx, cfg=meta, vit_cfg=vit))
+        kw = dict(lr=1e-3, wd=0.04, teacher_temp=0.07, momentum=0.994, last_layer_lr=0.0)
+
+        def fresh_ssl():
+            masks = np.zeros((2 * bs, n_tok), bool)
+            for i in range(bs):
+                masks[i, rng.choice(n_tok, int(n_tok * 0.3), replace=False)] = True
+            return {
+                "global_crops": fresh((2 * bs, 224, 224, 3)),
+                "local_crops": fresh((8 * bs, 96, 96, 3)),
+                "masks": jnp.asarray(masks),
+            }
+
+        def ssl_step(batch):
+            out = step(*state, batch, **kw)
+            state[:] = out[:4]  # thread updated params/opt/centers
+            return out[4]["total_loss"]
+
+        return _timed(ssl_step, fresh_ssl, lambda loss: float(loss), iters=3)
+
+    if os.environ.get("OMGSR_BENCH_SSL", "1") == "1":
+        # the tunnel throws transient ResourceExhausted under sustained load
+        # (CLAUDE.md) — retry once like the primary section
+        for _ssl_attempt in (0, 1):
+            _section("ssl_pretrain_vitl16_bs8_remat_s_per_step", extras, primary, run_ssl)
+            if "ssl_pretrain_vitl16_bs8_remat_s_per_step" in extras:
+                break
+            time.sleep(20)
+
+
     # ---- section 2: -S 256->1024 x4 tiled protocol --------------------------
     from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
     from omgsr_tpu.models.configs import SD21_UNET, SD21_VAE
@@ -454,74 +525,6 @@ def main():
         _section(f"train_s_512_bs{bs_env}_s_per_step", extras, primary,
                  lambda: run_train(bs_env))
 
-    # ---- section 9: DINOv3 SSL pretraining step ------------------------------
-    # vitl16 (304M, the published L-size recipe shape) full SSL step on one
-    # chip: 2x224 global + 8x96 local crops, 65536-d DINO/iBOT heads,
-    # masked sinkhorn, KoLeo, AdamW + EMA — bs 8 with per-block remat (bs 8
-    # fits WITHOUT remat on an empty chip at 0.30 s/it, but the bench's
-    # resident -S pipeline shares HBM; remat keeps the section robust).
-    # OMGSR_BENCH_SSL=0 disables.
-    def run_ssl():
-        # last section: drop every cached executable + captured constant from
-        # the earlier sections (the resident -S pipeline etc.) so the 304M
-        # teacher+student+AdamW state and remat'd activations fit HBM
-        import gc
-
-        gc.collect()
-        jax.clear_caches()
-        gc.collect()
-
-        from omgsr_tpu.models.configs import VIT_SIZES
-        from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
-        from omgsr_tpu.training.ssl import (
-            last_layer_mask, make_ssl_optimizer, ssl_param_groups,
-        )
-        from omgsr_tpu.training.ssl_meta_arch import (
-            SSLMetaConfig, init_center_state, init_ssl_student,
-            make_ssl_train_step,
-        )
-
-        from dataclasses import replace as _replace
-
-        vit = _replace(VIT_SIZES["vitl16"], remat_blocks=True)
-        meta = SSLMetaConfig()
-        bs = int(os.environ.get("OMGSR_BENCH_SSL_BS", "8"))
-        student = init_ssl_student(jax.random.key(40), vit, meta, init_dinov3_vit)
-        teacher = jax.tree.map(jnp.copy, student)
-        lr_t, wd_t = ssl_param_groups(
-            student, lr_decay_rate=0.9, num_layers=vit.depth, patch_embed_lr_mult=0.2
-        )
-        tx = make_ssl_optimizer(lr_t, wd_t, last_layer_mask_tree=last_layer_mask(student))
-        state = [student, teacher, tx.init(student), init_center_state(meta)]
-        n_tok = (224 // vit.patch_size) ** 2
-        step = jax.jit(make_ssl_train_step(tx, cfg=meta, vit_cfg=vit))
-        kw = dict(lr=1e-3, wd=0.04, teacher_temp=0.07, momentum=0.994, last_layer_lr=0.0)
-
-        def fresh_ssl():
-            masks = np.zeros((2 * bs, n_tok), bool)
-            for i in range(bs):
-                masks[i, rng.choice(n_tok, int(n_tok * 0.3), replace=False)] = True
-            return {
-                "global_crops": fresh((2 * bs, 224, 224, 3)),
-                "local_crops": fresh((8 * bs, 96, 96, 3)),
-                "masks": jnp.asarray(masks),
-            }
-
-        def ssl_step(batch):
-            out = step(*state, batch, **kw)
-            state[:] = out[:4]  # thread updated params/opt/centers
-            return out[4]["total_loss"]
-
-        return _timed(ssl_step, fresh_ssl, lambda loss: float(loss), iters=3)
-
-    if os.environ.get("OMGSR_BENCH_SSL", "1") == "1":
-        # the tunnel throws transient ResourceExhausted under sustained load
-        # (CLAUDE.md) — retry once like the primary section
-        for _ssl_attempt in (0, 1):
-            _section("ssl_pretrain_vitl16_bs8_remat_s_per_step", extras, primary, run_ssl)
-            if "ssl_pretrain_vitl16_bs8_remat_s_per_step" in extras:
-                break
-            time.sleep(20)
 
 
 
