@@ -1,0 +1,180 @@
+"""DINOv3 representation-quality eval CLI — k-NN / linear probe / logistic
+regression over ImageFolder splits.
+
+    python -m omgsr_tpu.cli.eval_dinov3 --mode knn \\
+        --train_dir /data/train --val_dir /data/val \\
+        --arch vitl16 --weights /ckpts/dinov3_vitl16.pth
+
+The user-facing entry for the probe library (eval/probes.py), re-owning the
+reference's eval runners (dinov3/eval/knn.py eval_knn:214-330, linear.py
+run_eval_linear:501-640, log_regression.py eval_log_regression:...) minus
+the SLURM/distributed submission shell:
+
+- backbone: hub .pth via the production porter, an orbax teacher export
+  from cli.pretrain_dinov3 (--orbax), or random init (--weights "").
+- features extracted once through one jitted forward (params as jit args),
+  then every probe runs on-device: temperature-weighted k-NN vote, the
+  vmapped full-lr-grid linear probe (one compile trains the entire grid),
+  and the L-BFGS logistic regression with C sweep.
+- dir-per-class layout; results printed and written as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger("omgsr_tpu.eval_dinov3")
+
+
+def load_imagefolder(d: str):
+    from PIL import Image
+
+    classes = sorted(x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x)))
+    if not classes:
+        raise FileNotFoundError(f"no class subdirectories under {d}")
+    imgs, labels = [], []
+    for ci, c in enumerate(classes):
+        cd = os.path.join(d, c)
+        for f in sorted(os.listdir(cd)):
+            with Image.open(os.path.join(cd, f)) as im:
+                imgs.append(im.convert("RGB"))
+            labels.append(ci)
+    return imgs, np.asarray(labels), classes
+
+
+def load_backbone(args):
+    import jax
+
+    from omgsr_tpu.models.configs import VIT_SIZES, DinoV3ViTConfig
+    from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
+
+    cfg = VIT_SIZES[args.arch] if args.arch in VIT_SIZES else DinoV3ViTConfig()
+    if args.vit_overrides:
+        cfg = dataclasses.replace(cfg, **json.loads(args.vit_overrides))
+    if args.weights and args.weights.endswith(".pth"):
+        from omgsr_tpu.convert import port_dinov3_vit
+
+        return port_dinov3_vit(args.weights, cfg=cfg), cfg
+    if args.weights:  # orbax teacher export (cli.pretrain_dinov3 eval/ dir)
+        from omgsr_tpu.training.checkpoint import restore_train_state
+
+        abstract = init_dinov3_vit(jax.random.key(0), cfg)
+        return restore_train_state(args.weights, abstract), cfg
+    logger.warning("no --weights given — probing a randomly initialized backbone")
+    return init_dinov3_vit(jax.random.key(args.seed), cfg), cfg
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("DINOv3 k-NN / linear / logreg eval")
+    parser.add_argument("--mode", choices=["knn", "linear", "logreg", "all"], default="all")
+    parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--val_dir", required=True)
+    parser.add_argument("--arch", default="vitl16")
+    parser.add_argument("--weights", default="", help=".pth (hub) or orbax backbone dir")
+    parser.add_argument("--vit_overrides", default="", help='JSON DinoV3ViTConfig overrides')
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--resize_size", type=int, default=256)
+    parser.add_argument("--crop_size", type=int, default=224)
+    parser.add_argument("--knn_ks", type=int, nargs="+", default=[10, 20, 100, 200])
+    parser.add_argument("--knn_temperature", type=float, default=0.07)
+    parser.add_argument("--probe_blocks", type=int, default=1, help="last-n-blocks probe input")
+    parser.add_argument("--probe_avgpool", action="store_true")
+    parser.add_argument("--probe_epochs", type=int, default=10)
+    parser.add_argument("--logreg_cs", type=float, nargs="+", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output", default="")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s %(message)s")
+    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from omgsr_tpu.eval.probes import (
+        create_linear_input,
+        extract_features,
+        knn_classify,
+        make_eval_transform,
+        sweep_logreg_C,
+        train_linear_probes,
+    )
+    from omgsr_tpu.models.dinov3_vit import get_intermediate_layers
+
+    backbone, vit_cfg = load_backbone(args)
+    tr_imgs, tr_labels, classes = load_imagefolder(args.train_dir)
+    va_imgs, va_labels, va_classes = load_imagefolder(args.val_dir)
+    if classes != va_classes:
+        raise ValueError("train/val class sets differ")
+    logger.info(
+        "%d train / %d val images, %d classes", len(tr_imgs), len(va_imgs), len(classes)
+    )
+
+    n_blocks = max(args.probe_blocks, 1)
+
+    @jax.jit
+    def feats_fn(p, x):
+        outs = get_intermediate_layers(
+            p, vit_cfg, x, n=n_blocks, return_class_token=True
+        )
+        return create_linear_input(outs, n_blocks, args.probe_avgpool)
+
+    transform = make_eval_transform(args.resize_size, args.crop_size)
+    tr_f = extract_features(lambda x: feats_fn(backbone, x), tr_imgs, args.batch_size, transform)
+    va_f = extract_features(lambda x: feats_fn(backbone, x), va_imgs, args.batch_size, transform)
+
+    results = {"num_classes": len(classes), "n_train": len(tr_imgs), "n_val": len(va_imgs)}
+
+    if args.mode in ("knn", "all"):
+        # k-NN on L2-normalized features (knn.py normalizes cls features)
+        trn = tr_f / np.linalg.norm(tr_f, axis=-1, keepdims=True)
+        van = va_f / np.linalg.norm(va_f, axis=-1, keepdims=True)
+        usable = [k for k in args.knn_ks if k <= len(tr_labels)] or [len(tr_labels)]
+        probs = knn_classify(
+            jnp.asarray(trn), jnp.asarray(tr_labels), jnp.asarray(van),
+            ks=usable, T=args.knn_temperature, num_classes=len(classes),
+        )
+        for k, p in probs.items():
+            acc = float(np.mean(np.asarray(jnp.argmax(p, -1)) == va_labels))
+            results[f"knn_top1_k{k}"] = acc
+            logger.info("knn k=%d top-1 %.4f", k, acc)
+
+    if args.mode in ("linear", "all"):
+        res = train_linear_probes(
+            jax.random.key(args.seed),
+            jnp.asarray(tr_f), jnp.asarray(tr_labels),
+            jnp.asarray(va_f), jnp.asarray(va_labels),
+            num_classes=len(classes), epochs=args.probe_epochs,
+            batch_size=min(128, len(tr_labels)),
+        )
+        results["linear_top1"] = float(res.best_accuracy)
+        results["linear_best_lr"] = float(res.best_lr)
+        logger.info("linear probe top-1 %.4f (lr %.2e)", res.best_accuracy, res.best_lr)
+
+    if args.mode in ("logreg", "all"):
+        kw = {"c_powers": np.log10(args.logreg_cs)} if args.logreg_cs else {}
+        best_c, acc, _ = sweep_logreg_C(
+            jnp.asarray(tr_f), jnp.asarray(tr_labels),
+            jnp.asarray(va_f), jnp.asarray(va_labels),
+            num_classes=len(classes), **kw,
+        )
+        results["logreg_top1"] = float(acc)
+        results["logreg_best_C"] = float(best_c)
+        logger.info("logreg top-1 %.4f (C %.3g)", acc, best_c)
+
+    print(json.dumps(results, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()
