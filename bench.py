@@ -81,6 +81,11 @@ def _section(name, extras, primary, thunk):
         extras[name] = round(thunk(), 5)
     except Exception as e:  # noqa: BLE001
         sys.stderr.write(f"bench section {name} failed: {type(e).__name__}: {e}\n")
+        # the exception traceback pins the thunk's device buffers (params,
+        # optimizer state) — collect so a failed section can't starve the rest
+        import gc
+
+        gc.collect()
         return
     _emit(primary, extras)
 

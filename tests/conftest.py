@@ -18,3 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# e2e CLI tests call mains that enable the PERSISTENT compilation cache
+# process-wide. On this host the cached CPU AOT artifacts come from the
+# remote-compile helper, whose machine features (avx512 etc.) the local
+# CPU lacks — loading them can SIGILL/abort the interpreter mid-suite
+# (observed in test_ssl_pretrain_cli after test_e2e_cli primed the cache).
+# Keep the suite on in-process compilation only.
+os.environ["OMGSR_COMPILATION_CACHE"] = "0"

@@ -31,72 +31,11 @@ import torch
 REF_ROOT = "/root/reference"
 
 
-def _install_torchvision_shim():
-    if "torchvision" in sys.modules:
-        return
-
-    def rgb_to_grayscale(img, num_output_channels=1):
-        r, g, b = img.unbind(dim=-3)
-        l_img = (0.2989 * r + 0.587 * g + 0.114 * b).to(img.dtype).unsqueeze(-3)
-        if num_output_channels == 3:
-            return l_img.expand(img.shape)
-        return l_img
-
-    def _blend(img1, img2, ratio):
-        return (float(ratio) * img1 + (1.0 - float(ratio)) * img2).clamp(0, 1.0)
-
-    def adjust_brightness(img, f):
-        return _blend(img, torch.zeros_like(img), f)
-
-    def adjust_contrast(img, f):
-        mean = rgb_to_grayscale(img).mean((-3, -2, -1), keepdim=True)
-        return _blend(img, mean, f)
-
-    def adjust_saturation(img, f):
-        return _blend(img, rgb_to_grayscale(img), f)
-
-    def adjust_hue(img, f):
-        # YIQ rotation (equivalent up to gamut clipping; unused by the
-        # shipped config, which has color_jitter_prob=0)
-        m = torch.tensor(
-            [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]],
-            dtype=img.dtype,
-        )
-        yiq = torch.einsum("...chw,dc->...dhw", img, m)
-        a = 2 * np.pi * float(f)
-        rot = torch.tensor(
-            [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]],
-            dtype=img.dtype,
-        )
-        yiq = torch.einsum("...chw,dc->...dhw", yiq, rot)
-        return torch.einsum("...chw,dc->...dhw", yiq, torch.linalg.inv(m)).clamp(0, 1)
-
-    import importlib.machinery
-
-    tv = types.ModuleType("torchvision")
-    tr = types.ModuleType("torchvision.transforms")
-    ft = types.ModuleType("torchvision.transforms._functional_tensor")
-    fn = types.ModuleType("torchvision.transforms.functional")
-    ft.rgb_to_grayscale = rgb_to_grayscale
-    fn.rgb_to_grayscale = rgb_to_grayscale
-    fn.adjust_brightness = adjust_brightness
-    fn.adjust_contrast = adjust_contrast
-    fn.adjust_saturation = adjust_saturation
-    fn.adjust_hue = adjust_hue
-    tv.transforms = tr
-    tr._functional_tensor = ft
-    tr.functional = fn
-    for mod in (tv, tr, ft, fn):
-        # a registered module with __spec__=None breaks importlib.util
-        # .find_spec for everyone else in the process (e.g. transformers'
-        # availability probing in test_hf_text_parity)
-        mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
-        sys.modules[mod.__name__] = mod
-
-
 @pytest.fixture(scope="module")
 def ref_degrader():
-    _install_torchvision_shim()
+    from torchvision_shim import install_torchvision_shim
+
+    install_torchvision_shim()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     from dataset.realesrgan import RealESRGAN_degradation

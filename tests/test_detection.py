@@ -32,20 +32,12 @@ if REF_ROOT not in sys.path:
     sys.path.insert(0, REF_ROOT)
 
 # util/misc.py imports torchvision (absent in this image) only for a
-# version workaround — stub it permissively
-if "torchvision" not in sys.modules:
+# version workaround — install the SHARED faithful shim (a permissive
+# module-level stub here would pre-empt the degradation parity tests'
+# transforms math, since whoever registers "torchvision" first wins)
+from torchvision_shim import install_torchvision_shim
 
-    class _Permissive(types.ModuleType):
-        def __getattr__(self, name):
-            sub = _Permissive(f"{self.__name__}.{name}")
-            setattr(self, name, sub)
-            return sub
-
-    tv = _Permissive("torchvision")
-    tv.__version__ = "0.99"
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.ops"] = tv.ops
-    sys.modules["torchvision.transforms"] = tv.transforms
+install_torchvision_shim()
 
 TINY = DetectionConfig(
     num_classes=7,
