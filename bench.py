@@ -170,13 +170,13 @@ def main():
     gc.collect()
 
     # ---- section 1b: DINOv3 SSL pretraining step ------------------------------
-    # vitl16 (304M, the published L-size recipe shape) full SSL step on one
-    # chip: 2x224 global + 8x96 local crops, 65536-d DINO/iBOT heads,
-    # masked sinkhorn, KoLeo, AdamW + EMA — bs 8 with per-block remat.
-    # Runs EARLY (right after the 12B frees): the tunnel throws
-    # ResourceExhausted for this section when it runs last after ~20 min of
-    # sustained load, while the identical program passes standalone.
-    # OMGSR_BENCH_SSL=0 disables.
+    # Full DINOv3 SSL pretraining step on one chip: 2x224 global + 8x96
+    # local crops, 65536-d DINO/iBOT heads, masked sinkhorn, KoLeo,
+    # AdamW + EMA. vitb16 bs16 (~4 GB peak) — the tunnel intermittently
+    # ResourceExhausts larger footprints mid-bench while the same program
+    # passes standalone; vitl16 numbers are recorded in CLAUDE.md perf
+    # notes (bs8 0.30 s/it; remat bs16/24 0.62/1.0). Runs EARLY, right
+    # after the 12B frees. OMGSR_BENCH_SSL=0 disables.
     def run_ssl():
         # last section: drop every cached executable + captured constant from
         # the earlier sections (the resident -S pipeline etc.) so the 304M
@@ -197,11 +197,9 @@ def main():
             make_ssl_train_step,
         )
 
-        from dataclasses import replace as _replace
-
-        vit = _replace(VIT_SIZES["vitl16"], remat_blocks=True)
+        vit = VIT_SIZES[os.environ.get("OMGSR_BENCH_SSL_ARCH", "vitb16")]
         meta = SSLMetaConfig()
-        bs = int(os.environ.get("OMGSR_BENCH_SSL_BS", "8"))
+        bs = int(os.environ.get("OMGSR_BENCH_SSL_BS", "16"))
         student = init_ssl_student(jax.random.key(40), vit, meta, init_dinov3_vit)
         teacher = jax.tree.map(jnp.copy, student)
         lr_t, wd_t = ssl_param_groups(
@@ -234,8 +232,8 @@ def main():
         # the tunnel throws transient ResourceExhausted under sustained load
         # (CLAUDE.md) — retry once like the primary section
         for _ssl_attempt in (0, 1):
-            _section("ssl_pretrain_vitl16_bs8_remat_s_per_step", extras, primary, run_ssl)
-            if "ssl_pretrain_vitl16_bs8_remat_s_per_step" in extras:
+            _section("ssl_pretrain_vitb16_bs16_s_per_step", extras, primary, run_ssl)
+            if "ssl_pretrain_vitb16_bs16_s_per_step" in extras:
                 break
             time.sleep(20)
 
