@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +44,7 @@ import numpy as np
 
 from omgsr_tpu.eval.depth import _conv_transpose_kxk, bilinear_resize
 from omgsr_tpu.eval.segmentation import _mha
-from omgsr_tpu.models.layers import conv2d, dense, group_norm, init_dense, init_norm, layer_norm
+from omgsr_tpu.models.layers import conv2d, dense, group_norm, init_norm, layer_norm
 
 __all__ = [
     "DetectionConfig",
