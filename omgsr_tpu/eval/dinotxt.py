@@ -56,6 +56,8 @@ __all__ = [
     "clip_loss",
     "dinotxt_gram_loss",
     "make_dinotxt_train_step",
+    "make_hf_tokenizer",
+    "tokenize_with_hf",
 ]
 
 
@@ -417,25 +419,43 @@ def make_dinotxt_train_step(
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda a, u: a + u, params, updates)
+        # OpenCLIP clamp to [0, ln(100)] after every step
+        # (train_dinotxt.py:205-208)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, math.log(100.0))
+        metrics["logit_scale"] = jnp.exp(params["logit_scale"][0])
         return params, opt_state, metrics
 
     return step
 
 
-def tokenize_with_hf(tokenizer_dir: str, texts, context_length: int = 77):
-    """Tokenize with a LOCAL HF CLIPTokenizer (vocab.json + merges.txt),
-    matching the upstream sot/eot/pad layout (tokenizer.py:16-46). The
-    reference's bundled SimpleTokenizer BPE is equivalent data-prep."""
+def make_hf_tokenizer(tokenizer_dir: str, context_length: int = 77):
+    """Load a LOCAL HF CLIPTokenizer (vocab.json + merges.txt) once and
+    return a texts -> (N, context_length) id-array callable matching the
+    upstream sot/eot/pad layout (tokenizer.py:16-46). The reference's
+    bundled SimpleTokenizer BPE is equivalent data-prep."""
     from transformers import CLIPTokenizer
 
     tok = CLIPTokenizer.from_pretrained(tokenizer_dir)
-    if isinstance(texts, str):
-        texts = [texts]
-    out = np.zeros((len(texts), context_length), np.int64)
-    for i, t in enumerate(texts):
-        ids = [tok.bos_token_id] + tok.encode(t, add_special_tokens=False) + [tok.eos_token_id]
-        if len(ids) > context_length:
-            ids = ids[:context_length]
-            ids[-1] = tok.eos_token_id
-        out[i, : len(ids)] = ids
-    return out
+
+    def tokenize(texts):
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), context_length), np.int64)
+        for i, t in enumerate(texts):
+            ids = (
+                [tok.bos_token_id]
+                + tok.encode(t, add_special_tokens=False)
+                + [tok.eos_token_id]
+            )
+            if len(ids) > context_length:
+                ids = ids[:context_length]
+                ids[-1] = tok.eos_token_id
+            out[i, : len(ids)] = ids
+        return out
+
+    return tokenize
+
+
+def tokenize_with_hf(tokenizer_dir: str, texts, context_length: int = 77):
+    """One-shot form of `make_hf_tokenizer` (loads the tokenizer per call)."""
+    return make_hf_tokenizer(tokenizer_dir, context_length)(texts)

@@ -50,6 +50,27 @@ def latest_checkpoint(output_dir: str):
     return os.path.join(d, f"checkpoint-{max(steps)}")
 
 
+def keep_last_n_checkpoints(output_dir: str, n):
+    """Prune all but the n highest-step checkpoint-* dirs (the reference
+    checkpointer's keep_last_n_checkpoints). n=None keeps everything."""
+    if not n:
+        return
+    import shutil
+
+    d = _ckpt_dir(output_dir)
+    if not os.path.isdir(d):
+        return
+    steps = []
+    for name in os.listdir(d):
+        if name.startswith("checkpoint-"):
+            try:
+                steps.append(int(name.split("-")[1]))
+            except ValueError:
+                pass
+    for step in sorted(steps)[:-n]:
+        shutil.rmtree(os.path.join(d, f"checkpoint-{step}"), ignore_errors=True)
+
+
 def restore_train_state(path: str, abstract_state):
     """abstract_state: a pytree of arrays (or ShapeDtypeStructs) matching the
     saved structure — typically the freshly-initialized state."""
