@@ -64,6 +64,10 @@ class DPTConfig:
     expand_channels: bool = False
     n_output_channels: int = 256
     n_hidden_channels: int = 32
+    # per-level SyncBatchNorm after readout, before the 1x1 project
+    # (dpt_head.py:333-335,354; the hub depther config sets it True,
+    # hub/depthers.py:34-41) — eval-mode running stats here
+    use_batchnorm: bool = False
 
     @property
     def effective_post_channels(self):
@@ -146,6 +150,16 @@ def init_dpt_head(key, cfg: DPTConfig, dtype=jnp.float32):
                     "kernel": _he(next(keys), (2 * c, c), 2 * c, dtype),
                     "bias": jnp.zeros((c,), dtype),
                 }
+            }
+            for i, c in enumerate(cfg.in_channels)
+        }
+    if cfg.use_batchnorm:
+        rb["batchnorm_layers"] = {
+            str(i): {
+                "scale": jnp.ones((c,), dtype),
+                "bias": jnp.zeros((c,), dtype),
+                "running_mean": jnp.zeros((c,), dtype),
+                "running_var": jnp.ones((c,), dtype),
             }
             for i, c in enumerate(cfg.in_channels)
         }
@@ -256,6 +270,12 @@ def dpt_head_apply(params, cfg: DPTConfig, feats):
             )
         elif cfg.readout_type == "add":
             x = x + cls[:, None, None, :]
+        if cfg.use_batchnorm:
+            bn = rb["batchnorm_layers"][str(i)]
+            inv = jax.lax.rsqrt(bn["running_var"].astype(jnp.float32) + 1e-5)
+            x = (x - bn["running_mean"].astype(x.dtype)) * (
+                inv * bn["scale"].astype(jnp.float32)
+            ).astype(x.dtype) + bn["bias"].astype(x.dtype)
         x = conv2d(rb["projects"][str(i)]["conv"], x, padding="VALID")
         if i == 0:
             x = _conv_transpose_kxk(rb["resize_layers"]["0"], x, 4)
@@ -414,7 +434,9 @@ def port_dpt_state(state_dict, dtype=jnp.float32):
         is_linear = "readout_projects" in name
         if leaf == "weight":
             key = "kernel"
-            if is_linear:
+            if arr.ndim == 1:  # batchnorm affine
+                key = "scale"
+            elif is_linear:
                 arr = arr.T
             elif is_transpose:
                 pass  # keep torch (I, O, kh, kw)
@@ -422,8 +444,10 @@ def port_dpt_state(state_dict, dtype=jnp.float32):
                 arr = arr.transpose(2, 3, 1, 0)
         elif leaf == "bias":
             key = "bias"
+        elif leaf in ("running_mean", "running_var"):
+            key = leaf
         else:
-            continue
+            continue  # num_batches_tracked
         node = out
         for p in parts[:-1]:
             node = node.setdefault(p, {})

@@ -58,6 +58,7 @@ __all__ = [
     "make_dinotxt_train_step",
     "make_hf_tokenizer",
     "tokenize_with_hf",
+    "port_dinotxt_state",
 ]
 
 
@@ -459,3 +460,43 @@ def make_hf_tokenizer(tokenizer_dir: str, context_length: int = 77):
 def tokenize_with_hf(tokenizer_dir: str, texts, context_length: int = 77):
     """One-shot form of `make_hf_tokenizer` (loads the tokenizer per call)."""
     return make_hf_tokenizer(tokenizer_dir, context_length)(texts)
+
+
+def port_dinotxt_state(state_dict, dtype=jnp.float32):
+    """torch DINOTxt state dict -> the init_dinotxt tree (trainable part).
+
+    Accepts the hub "vision_head_and_text_encoder" checkpoint layout
+    (hub/dinotxt.py:74-83, loaded with strict=False): visual_model.head.*,
+    text_model.{backbone,head}.*, logit_scale. Any visual_model.backbone.*
+    keys are skipped — the frozen vision backbone is its own tree
+    (convert.port_dinov3_vit). Linears (O, I) -> kernel (I, O); 1-D norm
+    weight -> scale; token embedding / positional embedding kept as-is;
+    the scalar-or-(1,) logit_scale lands as shape (1,)."""
+    out: dict = {}
+    for name, t in state_dict.items():
+        if name.startswith("visual_model.backbone."):
+            continue
+        arr = np.asarray(
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t
+        ).astype(np.float32)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "weight":
+            if parts[-2] == "token_embedding":
+                key = "weight"
+            elif arr.ndim == 2:
+                key, arr = "kernel", arr.T
+            else:
+                key = "scale"
+        elif leaf in ("bias", "gamma", "positional_embedding"):
+            key = leaf
+        elif leaf == "logit_scale":
+            out["logit_scale"] = jnp.asarray(arr.reshape(1), dtype)
+            continue
+        else:
+            continue  # logit_bias (hub config: None), buffers
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[key] = jnp.asarray(arr, dtype)
+    return out

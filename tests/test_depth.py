@@ -123,6 +123,54 @@ def test_dpt_head_readout_ignore_matches_torch():
     np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-5)
 
 
+def test_dpt_head_batchnorm_matches_torch():
+    """use_batchnorm=True — the hub depther configuration
+    (hub/depthers.py:34-41): per-level eval-mode SyncBatchNorm after the
+    readout, before the 1x1 project (dpt_head.py:333-335,354)."""
+    mod = _load_ref_dpt()
+    torch.manual_seed(3)
+    cfg = DPTConfig(
+        in_channels=TINY.in_channels,
+        channels=TINY.channels,
+        post_process_channels=TINY.post_process_channels,
+        readout_type="ignore",
+        n_output_channels=4,
+        n_hidden_channels=6,
+        use_batchnorm=True,
+    )
+    head = mod.DPTHead(
+        in_channels=list(cfg.in_channels),
+        channels=cfg.channels,
+        post_process_channels=list(cfg.post_process_channels),
+        readout_type="ignore",
+        use_batchnorm=True,
+        n_output_channels=cfg.n_output_channels,
+    )
+    head.conv_depth = mod.UpConvHead(cfg.channels, cfg.n_output_channels, 6)
+    # non-trivial running stats + affine so the BN actually transforms
+    with torch.no_grad():
+        for bn in head.reassemble_blocks.batchnorm_layers:
+            bn.running_mean.normal_(0, 0.5)
+            bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.normal_(1.0, 0.2)
+            bn.bias.normal_(0, 0.2)
+    head.eval()
+    rng = np.random.default_rng(4)
+    feats = _rand_feats(rng)
+    params = port_dpt_state(head.state_dict())
+    assert "batchnorm_layers" in params["reassemble_blocks"]
+    out_j = np.asarray(
+        dpt_head_apply(params, cfg, [(jnp.asarray(x), jnp.asarray(c)) for x, c in feats])
+    )
+    with torch.no_grad():
+        t_in = [
+            (torch.from_numpy(x).permute(0, 3, 1, 2).contiguous(), torch.from_numpy(c))
+            for x, c in feats
+        ]
+        out_t = head(t_in).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("bins,norm", [
     ("linear", "linear"), ("log", "softmax"), ("linear", "sigmoid"),
 ])
