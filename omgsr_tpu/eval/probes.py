@@ -320,3 +320,72 @@ def sweep_logreg_C(
         if acc > best[1]:
             best = (c, acc, params)
     return best[0], best[1], results
+
+
+# ---------------------------------------------------------------------------
+# classification metrics (eval/metrics/{classification,imagenet_c}.py)
+# ---------------------------------------------------------------------------
+
+
+def top_k_accuracy(logits, labels, ks: Sequence[int] = (1, 5)):
+    """Micro-averaged top-k accuracies (build_topk_accuracy_metric,
+    eval/metrics/classification.py:141-146, torchmetrics semantics).
+    Returns {"top-k": float}."""
+    logits = jnp.asarray(logits)
+    labels = jnp.asarray(labels)
+    kmax = int(max(ks))
+    _, topi = jax.lax.top_k(logits, min(kmax, logits.shape[-1]))
+    hits = topi == labels[:, None]
+    return {
+        f"top-{k}": float(jnp.mean(jnp.any(hits[:, : min(k, hits.shape[1])], axis=1)))
+        for k in ks
+    }
+
+
+# Published AlexNet baseline corruption errors (Hendrycks & Dietterich,
+# ImageNet-C) — the normalization constants the reference carries at
+# eval/metrics/imagenet_c.py:23-157; level order 1..5.
+ALEXNET_INVERSE_SCORES = {
+    "GAUSSIAN_NOISE": (0.69528, 0.82542, 0.93554, 0.98138, 0.99452),
+    "SHOT_NOISE": (0.71224, 0.85108, 0.93574, 0.98182, 0.99146),
+    "IMPULSE_NOISE": (0.78374, 0.89808, 0.9487, 0.9872, 0.99548),
+    "DEFOCUS_BLUR": (0.656239999999999, 0.73202, 0.85036, 0.91364, 0.94714),
+    "GLASS_BLUR": (0.64308, 0.75054, 0.88806, 0.91622, 0.93344),
+    "MOTION_BLUR": (0.5843, 0.70048, 0.82108, 0.8975, 0.92638),
+    "ZOOM_BLUR": (0.70008, 0.769919999999999, 0.80784, 0.84198, 0.87198),
+    "SNOW": (0.71726, 0.88392, 0.86468, 0.9187, 0.94952),
+    "FROST": (0.6139, 0.797339999999999, 0.8879, 0.89942, 0.9343),
+    "FOG": (0.67474, 0.7605, 0.84378, 0.8726, 0.945),
+    "BRIGHTNESS": (0.4514, 0.48502, 0.54048, 0.62166, 0.724399999999999),
+    "CONTRAST": (0.64548, 0.7615, 0.88874, 0.9776, 0.9927),
+    "ELASTIC_TRANSFORM": (0.52596, 0.70116, 0.55686, 0.64076, 0.80554),
+    "PIXELATE": (0.52218, 0.5462, 0.737279999999999, 0.87092, 0.91262),
+    "JPEG_COMPRESSION": (0.510019999999999, 0.54718, 0.57294, 0.654579999999999, 0.74778),
+    "SPECKLE_NOISE": (0.66192, 0.7444, 0.90246, 0.94548, 0.97268),
+    "GAUSSIAN_BLUR": (0.54732, 0.70444, 0.82574, 0.89864, 0.9594),
+    "SPATTER": (0.47196, 0.621939999999999, 0.75052, 0.84132, 0.90182),
+    "SATURATE": (0.59342, 0.65514, 0.51174, 0.70834, 0.8226),
+}
+
+
+def imagenet_c_mce(scores: dict, inv_scores_ref: dict | None = None) -> float:
+    """Mean corruption error relative to the AlexNet baseline
+    (compute_relative_average_scores, eval/metrics/imagenet_c.py:168-185;
+    lower is better). scores: {corruption: {level: top-1 accuracy}} —
+    corruptions absent from `scores` are skipped, like the reference."""
+    ref = inv_scores_ref or {
+        k: {level + 1: v for level, v in enumerate(vals)}
+        for k, vals in ALEXNET_INVERSE_SCORES.items()
+    }
+    rel = []
+    for corruption, ref_levels in ref.items():
+        if corruption not in scores:
+            continue
+        errs, ref_errs = [], []
+        for level in sorted(ref_levels):
+            if level not in scores[corruption]:
+                continue
+            errs.append(1.0 - scores[corruption][level])
+            ref_errs.append(ref_levels[level])
+        rel.append(np.mean(errs) / np.mean(ref_errs))
+    return float(np.mean(rel))

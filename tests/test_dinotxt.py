@@ -110,6 +110,32 @@ def test_clip_loss_matches_reference_formula():
     np.testing.assert_allclose(got, float(want), rtol=1e-6)
 
 
+def test_clip_loss_sharded_equals_replicated():
+    """The data-sharded clip_loss (the TPU stand-in for the reference's
+    MemoryEfficientClipLoss NCCL ring) equals the single-device value on the
+    same global batch — XLA's sharded logit matrix changes nothing."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from omgsr_tpu.parallel import create_mesh
+
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((8, 16)).astype(np.float32)
+    txt = rng.standard_normal((8, 16)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=-1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+    want = float(clip_loss(jnp.asarray(img), jnp.asarray(txt), 10.0))
+    mesh = create_mesh({"data": len(jax.devices())})
+    sh = NamedSharding(mesh, P("data"))
+    got = float(
+        jax.jit(clip_loss)(
+            jax.device_put(jnp.asarray(img), sh),
+            jax.device_put(jnp.asarray(txt), sh),
+            10.0,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_gram_loss_matches_torch_full_rate():
     """At sampling rate 1.0 (no subset randomness) the losses agree."""
     if REF_ROOT not in sys.path:

@@ -196,3 +196,67 @@ def test_eval_transform_geometry():
     out = t(img)
     assert out.shape == (28, 28, 3)
     assert out.dtype == np.float32
+
+
+def test_top_k_accuracy_semantics():
+    from omgsr_tpu.eval.probes import top_k_accuracy
+
+    logits = np.array(
+        [[0.9, 0.05, 0.03, 0.02],   # top1 = 0
+         [0.1, 0.5, 0.3, 0.1],      # top1 = 1, label 2 in top-2
+         [0.4, 0.3, 0.2, 0.1]],     # label 3 only in top-4
+        np.float32,
+    )
+    labels = np.array([0, 2, 3])
+    acc = top_k_accuracy(logits, labels, ks=(1, 2, 4))
+    assert acc["top-1"] == pytest.approx(1 / 3)
+    assert acc["top-2"] == pytest.approx(2 / 3)
+    assert acc["top-4"] == pytest.approx(1.0)
+    # torch cross-check (manual top-k membership)
+    t = torch.from_numpy(logits)
+    want1 = float((t.argmax(1) == torch.from_numpy(labels)).float().mean())
+    assert acc["top-1"] == pytest.approx(want1)
+
+
+def test_imagenet_c_mce_matches_vendored():
+    """imagenet_c_mce == the vendored compute_relative_average_scores on
+    random per-corruption accuracies, AlexNet table included (torchmetrics
+    is stubbed — the vendored module only needs its Metric base class)."""
+    import importlib.util
+    import sys
+    import types
+
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+
+        class _Metric:
+            def __init__(self, **kw):
+                pass
+
+        tm.Metric = _Metric
+        sys.modules["torchmetrics"] = tm
+    spec = importlib.util.spec_from_file_location(
+        "ref_imagenet_c",
+        "/root/reference/dinov3_gan/facebookresearch_dinov3_main/dinov3/eval/metrics/imagenet_c.py",
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from omgsr_tpu.eval.probes import ALEXNET_INVERSE_SCORES, imagenet_c_mce
+
+    # table parity with the vendored constants
+    assert set(ALEXNET_INVERSE_SCORES) == set(ref.ALEXNET_INVERSE_SCORES)
+    for k, vals in ALEXNET_INVERSE_SCORES.items():
+        for level, v in enumerate(vals, start=1):
+            assert v == ref.ALEXNET_INVERSE_SCORES[k][level], (k, level)
+
+    rng = np.random.default_rng(0)
+    scores = {
+        k: {level: float(rng.uniform(0.2, 0.9)) for level in range(1, 6)}
+        for k in list(ALEXNET_INVERSE_SCORES)[:7]
+    }
+    # one corruption with a missing level, one corruption entirely absent
+    del scores[list(scores)[0]][3]
+    got = imagenet_c_mce(scores)
+    want = float(ref.compute_relative_average_scores(scores))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
