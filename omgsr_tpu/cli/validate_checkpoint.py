@@ -190,17 +190,139 @@ def validate_flux(flux_path: str, tokens: int = 64):
     return report
 
 
+_DINOV3_REF_ROOT = (
+    "/root/reference/dinov3_gan/facebookresearch_dinov3_main"
+)
+
+
+def validate_dinov3(pth_path: str, arch: str = "vitl16", image_size: int = 224,
+                    probe_image=None, ref_root: str = _DINOV3_REF_ROOT):
+    """DINOv3 hub ViT/ConvNeXt .pth -> port -> forward parity against the
+    ACTUAL vendored torch implementation (dinov3/models/*.py — fully
+    independent reference code on disk), same weights, eval mode.
+
+    Stronger than the SD/FLUX paths (whose torch side is a re-implementation):
+    here the comparison target is the code the checkpoint was trained with.
+    Covers forward_features (cls/storage/patch tokens) and a 4-layer
+    get_intermediate_layers probe — the exact features every downstream suite
+    (DPT/M2F/DETR/dinotxt/probes) consumes."""
+    import numpy as np
+    import torch
+
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    report = {}
+    rng = np.random.default_rng(2)
+    if probe_image is not None:
+        x = probe_image  # NHWC, ImageNet-normalize below
+        x = (x + 1.0) / 2.0  # validate_* probes arrive in [-1, 1]
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        x = ((x - mean) / std).astype(np.float32)
+    else:
+        x = rng.standard_normal((1, image_size, image_size, 3)).astype(np.float32)
+
+    if arch.startswith("convnext"):
+        import jax.numpy as jnp
+
+        from omgsr_tpu.convert.porters import port_dinov3_convnext
+        from omgsr_tpu.models.configs import CONVNEXT_SIZES
+        from omgsr_tpu.models.convnext import convnext_features
+
+        size = arch.split("_", 1)[1]
+        cfg = CONVNEXT_SIZES[size]
+        params = port_dinov3_convnext(pth_path, cfg=cfg, dtype=jnp.float32)
+        from dinov3.models.convnext import ConvNeXt
+
+        depths, dims = list(cfg.depths), list(cfg.dims)
+        m = ConvNeXt(depths=depths, dims=dims)
+        sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        m.load_state_dict(sd, strict=False)
+        m.eval()
+        ours = convnext_features(params, jnp.asarray(x), num_stages=4)
+        with torch.no_grad():
+            tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            for i, (dl, st) in enumerate(zip(m.downsample_layers, m.stages)):
+                tx = st(dl(tx))
+                report[f"convnext_stage{i}"] = _rel(
+                    np.asarray(ours[i]), tx.numpy().transpose(0, 2, 3, 1)
+                )
+        return report
+
+    import jax.numpy as jnp
+
+    from omgsr_tpu.convert.porters import port_dinov3_vit
+    from omgsr_tpu.models.configs import VIT_SIZES
+    from omgsr_tpu.models.dinov3_vit import dinov3_vit_apply, get_intermediate_layers
+
+    from dinov3.models.vision_transformer import DinoVisionTransformer
+
+    cfg = VIT_SIZES[arch]
+    params = port_dinov3_vit(pth_path, cfg=cfg, dtype=jnp.float32)
+    m = DinoVisionTransformer(
+        img_size=image_size,
+        patch_size=cfg.patch_size,
+        embed_dim=cfg.embed_dim,
+        depth=cfg.depth,
+        num_heads=cfg.num_heads,
+        ffn_ratio=cfg.ffn_ratio,
+        ffn_layer=cfg.ffn_layer,
+        qkv_bias=cfg.qkv_bias,
+        layerscale_init=cfg.layerscale_init,
+        n_storage_tokens=cfg.n_storage_tokens,
+        mask_k_bias=True,
+        pos_embed_rope_base=cfg.rope_base,
+        pos_embed_rope_normalize_coords=cfg.rope_normalize_coords,
+        pos_embed_rope_dtype="fp32",
+        # hub models ship "layernormbf16" = plain LN(eps=1e-5)
+        # (vision_transformer.py:27-30; our cfg.norm_eps mirrors it)
+        norm_layer="layernormbf16",
+        untie_global_and_local_cls_norm=cfg.untie_cls_and_patch_norms,
+    )
+    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    missing, unexpected = m.load_state_dict(sd, strict=False)
+    report["torch_load"] = {
+        "missing": [k for k in missing if "local_cls_norm" not in k],
+        "unexpected": list(unexpected),
+    }
+    m.eval()
+    with torch.no_grad():
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ref = m.forward_features(tx)
+        idx = [i * cfg.depth // 4 - 1 for i in range(1, 5)]
+        ref_layers = m.get_intermediate_layers(tx, n=idx, reshape=True, norm=True)
+    out = dinov3_vit_apply(params, cfg, jnp.asarray(x))
+    for k in ("x_norm_clstoken", "x_storage_tokens", "x_norm_patchtokens"):
+        report[k] = _rel(np.asarray(out[k]), ref[k].numpy())
+    ours_layers = get_intermediate_layers(
+        params, cfg, jnp.asarray(x), n=idx, reshape=True, norm=True
+    )
+    for i, (o, r) in enumerate(zip(ours_layers, ref_layers)):
+        report[f"intermediate_layer_{idx[i]}"] = _rel(
+            np.asarray(o), r.numpy().transpose(0, 2, 3, 1)
+        )
+    return report
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Real-checkpoint fidelity validation")
     parser.add_argument("--sd_path", type=str, default=None)
     parser.add_argument("--flux_path", type=str, default=None)
+    parser.add_argument("--dinov3_pth", type=str, default=None,
+                        help="DINOv3 hub backbone .pth (ViT or ConvNeXt)")
+    parser.add_argument("--dinov3_arch", type=str, default="vitl16",
+                        help="vits16|...|vit7b16|convnext_{tiny,small,base,large}")
     parser.add_argument("--probe_image", type=str, default=None)
     parser.add_argument("--report", type=str, default=None)
     parser.add_argument("--flux_tokens", type=int, default=64,
                         help="image tokens for the DiT probe (torch-CPU cost grows with this)")
     args = parser.parse_args(argv)
-    if not (args.sd_path or args.flux_path):
-        parser.error("pass --sd_path and/or --flux_path")
+    if not (args.sd_path or args.flux_path or args.dinov3_pth):
+        parser.error("pass --sd_path, --flux_path and/or --dinov3_pth")
 
     import jax
 
@@ -220,6 +342,10 @@ def main(argv=None):
         report["sd"] = validate_sd(args.sd_path, probe)
     if args.flux_path:
         report["flux"] = validate_flux(args.flux_path, args.flux_tokens)
+    if args.dinov3_pth:
+        report["dinov3"] = validate_dinov3(
+            args.dinov3_pth, arch=args.dinov3_arch, probe_image=probe
+        )
 
     worst = 0.0
     for comp in report.values():

@@ -64,3 +64,74 @@ def test_validate_flux_checkpoint(flux_checkpoint, tmp_path):
     for stage in ("flux_vae_encode_moments", "flux_dit_velocity"):
         assert report["flux"][stage]["max_rel"] < 1e-3, (stage, report["flux"][stage])
     assert report["passes_1e-3_target"]
+
+
+def test_validate_dinov3_checkpoint(tmp_path):
+    """A fabricated hub-layout ViT-S .pth round-trips: port -> JAX forward
+    == the ACTUAL vendored torch DinoVisionTransformer on the same weights
+    (forward_features + 4 intermediate layers), within the 1e-3 target."""
+    import sys
+
+    import torch
+
+    from omgsr_tpu.cli.validate_checkpoint import _DINOV3_REF_ROOT, validate_dinov3
+
+    if _DINOV3_REF_ROOT not in sys.path:
+        sys.path.insert(0, _DINOV3_REF_ROOT)
+    from dinov3.models.vision_transformer import DinoVisionTransformer
+
+    torch.manual_seed(0)
+    m = DinoVisionTransformer(
+        img_size=32, patch_size=16, embed_dim=384, depth=12, num_heads=6,
+        ffn_ratio=4.0, ffn_layer="mlp", qkv_bias=True, layerscale_init=1e-5,
+        n_storage_tokens=4, mask_k_bias=True, pos_embed_rope_base=100.0,
+        pos_embed_rope_normalize_coords="separate", pos_embed_rope_dtype="fp32",
+        norm_layer="layernormbf16",  # the hub ViTs' LN(eps=1e-5)
+    )
+    m.init_weights()
+    with torch.no_grad():
+        # randomize what init leaves at zero/constant; give the k-masked
+        # bias buffer the pretrained-checkpoint pattern (attention.py:36)
+        for name, p in m.named_parameters():
+            if p.ndim == 1 or "token" in name:
+                p.add_(0.05 * torch.randn_like(p))
+        for blk in m.blocks:
+            bm = blk.attn.qkv.bias_mask
+            third = bm.numel() // 3
+            bm.fill_(1.0)
+            bm[third : 2 * third] = 0.0
+    pth = tmp_path / "dinov3_vits16_fake.pth"
+    torch.save(m.state_dict(), pth)
+
+    report = validate_dinov3(str(pth), arch="vits16", image_size=32)
+    assert report["torch_load"]["missing"] == []
+    assert report["torch_load"]["unexpected"] == []
+    for k, stage in report.items():
+        if isinstance(stage, dict) and "max_rel" in stage:
+            assert stage["max_rel"] < 1e-3, (k, stage)
+    assert any("intermediate_layer_" in k for k in report)
+
+
+def test_validate_dinov3_convnext_checkpoint(tmp_path):
+    """ConvNeXt branch of the DINOv3 validator: fabricated hub .pth,
+    per-stage feature parity vs the vendored torch ConvNeXt."""
+    import sys
+
+    import torch
+
+    from omgsr_tpu.cli.validate_checkpoint import _DINOV3_REF_ROOT, validate_dinov3
+
+    if _DINOV3_REF_ROOT not in sys.path:
+        sys.path.insert(0, _DINOV3_REF_ROOT)
+    from dinov3.models.convnext import ConvNeXt
+
+    torch.manual_seed(1)
+    m = ConvNeXt(depths=[3, 3, 9, 3], dims=[96, 192, 384, 768])  # tiny
+    m.eval()
+    pth = tmp_path / "dinov3_convnext_tiny_fake.pth"
+    torch.save(m.state_dict(), pth)
+    report = validate_dinov3(str(pth), arch="convnext_tiny", image_size=64)
+    stages = [k for k in report if k.startswith("convnext_stage")]
+    assert len(stages) == 4
+    for k in stages:
+        assert report[k]["max_rel"] < 1e-3, (k, report[k])
