@@ -37,4 +37,8 @@ def __getattr__(name):
         from omgsr_tpu.config import load_config
 
         return load_config
+    if name == "hub":
+        import omgsr_tpu.hub as hub
+
+        return hub
     raise AttributeError(f"module 'omgsr_tpu' has no attribute {name!r}")
