@@ -531,5 +531,39 @@ def main():
 
 
 
+def _wait_for_backend(attempts: int = 6, sleep_s: float = 90.0) -> bool:
+    """The tunneled TPU backend throws transient UNAVAILABLE errors at init
+    (observed: a ~25 min hang then 'Unable to initialize backend axon').
+    Backend init is process-fatal in jax, so probe it in a SUBPROCESS and
+    only enter main() once a probe succeeds."""
+    import subprocess
+
+    probe = "import jax; jax.devices(); print('backend-ok')"
+    for i in range(attempts):
+        remaining = SECTION_DEADLINE_S - (time.time() - _t_start)
+        if remaining <= 0:
+            return False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, text=True,
+                timeout=min(1800.0, max(60.0, remaining)),
+            )
+            if "backend-ok" in r.stdout:
+                return True
+            sys.stderr.write(
+                f"bench backend probe {i + 1}/{attempts} failed:\n"
+                + r.stderr[-500:] + "\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench backend probe {i + 1}/{attempts} timed out\n")
+        if time.time() - _t_start >= SECTION_DEADLINE_S:
+            return False
+        time.sleep(sleep_s)
+    return False
+
+
 if __name__ == "__main__":
+    if not _wait_for_backend():
+        sys.stderr.write("bench: TPU backend unavailable after retries\n")
+        sys.exit(1)
     main()
