@@ -556,7 +556,7 @@ def _wait_for_backend(attempts: int = 6, sleep_s: float = 90.0) -> bool:
             )
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"bench backend probe {i + 1}/{attempts} timed out\n")
-        if time.time() - _t_start >= SECTION_DEADLINE_S:
+        if i + 1 >= attempts or time.time() - _t_start >= SECTION_DEADLINE_S:
             return False
         time.sleep(sleep_s)
     return False

@@ -19,7 +19,8 @@ head configurations as the torch hub entry points). Outputs:
   into one summary JSON (requires --prompts and --tokenizer_dir)
 
 One jitted graph per task; params are jit arguments; images are resized to
---image_size (detection pads to the window grid instead).
+--image_size (detection snaps the resize up to the backbone's window grid,
+e.g. 512 -> 528 for the 3-window ViT-7B).
 """
 
 from __future__ import annotations
@@ -34,8 +35,7 @@ import numpy as np
 
 logger = logging.getLogger("omgsr_tpu.infer_dinov3")
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from omgsr_tpu.data.ssl import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 _TASK_DEFAULT_ARCH = {
     "depth": "vitl16",
@@ -136,6 +136,10 @@ def run_segmentation(model, paths, args):
     if args.slide:
         from omgsr_tpu.eval.segmentation import slide_inference
 
+        # slide_inference calls predict(crop, rescale_to=(h_crop, w_crop))
+        predict = lambda img, rescale_to: model.extras["predict"](  # noqa: E731
+            model.params, img, rescale_to=rescale_to
+        )
         fwd = None
     else:
         fwd = jax.jit(lambda prm, x: model.extras["predict"](
@@ -145,10 +149,7 @@ def run_segmentation(model, paths, args):
         x, _ = load_normalized(p, args.image_size)
         if args.slide:
             probs = slide_inference(
-                lambda img: model.extras["predict"](
-                    model.params, img, rescale_to=(args.slide_crop, args.slide_crop)
-                ),
-                x,
+                predict, x,
                 crop_size=args.slide_crop,
                 stride=args.slide_stride,
                 n_classes=args.num_classes,
@@ -166,15 +167,23 @@ def run_detection(model, paths, args):
     import jax
 
     fwd = jax.jit(model.apply)
+    # the windowed backbone needs h/w divisible into n_windows equal
+    # patch-multiple windows — snap the square resize up to that grid
+    # (e.g. vit7b16: 3 windows x patch 16 -> multiples of 48; 512 -> 528)
+    grid = model.extras["n_windows"] * model.cfgs["backbone"].patch_size
+    size = -(-args.image_size // grid) * grid
+    if size != args.image_size:
+        logger.info("detection: image_size %d snapped to %d (window grid %d)",
+                    args.image_size, size, grid)
     for p in paths:
-        x, (ow, oh) = load_normalized(p, args.image_size)
+        x, (ow, oh) = load_normalized(p, size)
         out = fwd(model.params, x)
         scores = np.asarray(out["scores"])[0]
         keep = scores >= args.score_threshold
         boxes = np.asarray(out["boxes"])[0][keep]
         # map back to the original resolution
-        boxes[:, 0::2] *= ow / args.image_size
-        boxes[:, 1::2] *= oh / args.image_size
+        boxes[:, 0::2] *= ow / size
+        boxes[:, 1::2] *= oh / size
         det = {
             "scores": scores[keep].tolist(),
             "labels": np.asarray(out["labels"])[0][keep].tolist(),

@@ -450,17 +450,23 @@ def run_training(cfg: DinoTxtTrainConfig):
                 params, opt_state, backbone, images, token_ids,
                 lr=lr_table[it], key=jax.random.fold_in(jax.random.key(cfg.seed), it),
             )
-            if (it + 1) % cfg.print_freq == 0 or it + 1 == cfg.max_iteration:
+            save_now = (it + 1) % cfg.checkpointing_period == 0 or it + 1 == cfg.max_iteration
+            # abort on non-finite loss before logging AND before any save —
+            # a NaN run must never checkpoint (and keep-last-N-prune away
+            # the good states); the reference aborts every iteration
+            # (train_dinotxt.py:195-198)
+            if save_now or (it + 1) % cfg.print_freq == 0 or it + 1 == cfg.max_iteration:
                 host = {k: float(v) for k, v in metrics.items()}
                 if not math.isfinite(host["total_loss"]):
                     raise FloatingPointError(f"non-finite total_loss at iteration {it}: {host}")
+            if (it + 1) % cfg.print_freq == 0 or it + 1 == cfg.max_iteration:
                 mlog.update(**host)
                 logger.info(
                     "it %d/%d | %s | lr=%.2e | %.3f s/it",
                     it + 1, cfg.max_iteration, mlog, lr_table[it],
                     (time.time() - t0) / max(it + 1 - start_iter, 1),
                 )
-            if (it + 1) % cfg.checkpointing_period == 0 or it + 1 == cfg.max_iteration:
+            if save_now:
                 save_train_state(
                     cfg.output_dir,
                     {"params": params, "opt": opt_state, "step": np.asarray(it, np.int64)},

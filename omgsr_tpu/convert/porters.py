@@ -203,7 +203,12 @@ def port_dinov3_convnext(pth_path: str, cfg=None, dtype=jnp.float32, validate: b
     from omgsr_tpu.models.convnext import init_convnext
 
     cfg = cfg or CONVNEXT_SIZES["large"]
-    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    # accept an already-loaded state dict too (hub in-memory weights)
+    sd = (
+        pth_path
+        if isinstance(pth_path, dict)
+        else torch.load(pth_path, map_location="cpu", weights_only=True)
+    )
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
     tensors = {
@@ -238,7 +243,12 @@ def port_dinov3_vit(pth_path: str, cfg=None, dtype=jnp.float32, validate: bool =
     from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
 
     cfg = cfg or VIT_SIZES["vitl16"]
-    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    # accept an already-loaded state dict too (hub in-memory weights)
+    sd = (
+        pth_path
+        if isinstance(pth_path, dict)
+        else torch.load(pth_path, map_location="cpu", weights_only=True)
+    )
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
     tensors = {}

@@ -323,6 +323,15 @@ dinov3_vitl16_dd = _make_depther_entry("vitl16")
 # Mask2Former segmentors (dinov3/hub/segmentors.py:25-88)
 # ---------------------------------------------------------------------------
 
+def _even_interval_layers(depth: int):
+    """[m * depth//4 - 1 for m in 1..4] — the hub detector's layers_to_use
+    default (detectors.py:96-98) and the segmentor fallback for unknown
+    arches. NOT the depth suite's table: eval.depth.backbone_out_indices
+    ("FOUR_EVEN_INTERVALS") additionally carries the ViT-L [4,11,17,23]
+    backward-compat quirk, which the detector deliberately does not."""
+    return [m * depth // 4 - 1 for m in range(1, 5)]
+
+
 # eval/segmentation/models/__init__.py:14-19
 _M2F_INTERACTION_INDEXES = {
     "vits16": (2, 5, 8, 11),
@@ -379,7 +388,7 @@ def _make_segmentor_entry(arch):
         )
 
         bb, cfg = _vit_backbone(arch, backbone_weights, key, dtype, backbone_overrides)
-        idx = _M2F_INTERACTION_INDEXES.get(arch, tuple(backbone_out_default(cfg.depth)))
+        idx = _M2F_INTERACTION_INDEXES.get(arch, tuple(_even_interval_layers(cfg.depth)))
         acfg = dataclasses.replace(
             AdapterConfig(interaction_indexes=idx), **(adapter_overrides or {})
         )
@@ -423,10 +432,6 @@ def _make_segmentor_entry(arch):
         " resize + semantic inference."
     )
     return builder
-
-
-def backbone_out_default(depth):
-    return [m * depth // 4 - 1 for m in range(1, 5)]
 
 
 dinov3_vit7b16_ms = _make_segmentor_entry("vit7b16")
@@ -476,7 +481,7 @@ def _make_detector_entry(arch):
         if head_overrides:
             dcfg = dataclasses.replace(dcfg, **head_overrides)
         n_windows = _DETECTOR_WINDOWS.get(arch, 2)
-        layers = backbone_out_default(cfg.depth)  # detectors.py:96-98
+        layers = _even_interval_layers(cfg.depth)  # detectors.py:96-98
         # [global | windows] channel-doubling over the 4-layer concat
         channels = 2 * len(layers) * cfg.embed_dim
         if weights is not None:

@@ -34,10 +34,11 @@ def save_train_state(output_dir: str, state, step: int):
     return path
 
 
-def latest_checkpoint(output_dir: str):
+def _checkpoint_steps(output_dir: str) -> list[int]:
+    """Sorted step numbers of the checkpoint-* dirs under output_dir."""
     d = _ckpt_dir(output_dir)
     if not os.path.isdir(d):
-        return None
+        return []
     steps = []
     for name in os.listdir(d):
         if name.startswith("checkpoint-"):
@@ -45,9 +46,14 @@ def latest_checkpoint(output_dir: str):
                 steps.append(int(name.split("-")[1]))
             except ValueError:
                 pass
+    return sorted(steps)
+
+
+def latest_checkpoint(output_dir: str):
+    steps = _checkpoint_steps(output_dir)
     if not steps:
         return None
-    return os.path.join(d, f"checkpoint-{max(steps)}")
+    return os.path.join(_ckpt_dir(output_dir), f"checkpoint-{steps[-1]}")
 
 
 def keep_last_n_checkpoints(output_dir: str, n):
@@ -57,18 +63,11 @@ def keep_last_n_checkpoints(output_dir: str, n):
         return
     import shutil
 
-    d = _ckpt_dir(output_dir)
-    if not os.path.isdir(d):
-        return
-    steps = []
-    for name in os.listdir(d):
-        if name.startswith("checkpoint-"):
-            try:
-                steps.append(int(name.split("-")[1]))
-            except ValueError:
-                pass
-    for step in sorted(steps)[:-n]:
-        shutil.rmtree(os.path.join(d, f"checkpoint-{step}"), ignore_errors=True)
+    for step in _checkpoint_steps(output_dir)[:-n]:
+        shutil.rmtree(
+            os.path.join(_ckpt_dir(output_dir), f"checkpoint-{step}"),
+            ignore_errors=True,
+        )
 
 
 def restore_train_state(path: str, abstract_state):

@@ -49,6 +49,39 @@ def test_vit_backbone_builder():
     assert VIT_SIZES["vit7b16"].embed_dim == 4096
 
 
+def test_backbone_in_memory_state_dict():
+    """hub builders accept an already-loaded torch state dict for backbone
+    weights (the porters take dicts as well as .pth paths)."""
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from dinov3.models.vision_transformer import DinoVisionTransformer
+
+    torch.manual_seed(0)
+    m = DinoVisionTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+        n_storage_tokens=4, mask_k_bias=True, layerscale_init=1e-5,
+        pos_embed_rope_base=100.0, pos_embed_rope_dtype="fp32",
+        norm_layer="layernormbf16",
+    )
+    m.init_weights()
+    with torch.no_grad():
+        for blk in m.blocks:
+            bm = blk.attn.qkv.bias_mask
+            third = bm.numel() // 3
+            bm.fill_(1.0)
+            bm[third : 2 * third] = 0.0
+    hubm = hub.dinov3_vits16(weights=m.state_dict(), **TINY_VIT)
+    x = np.random.default_rng(0).standard_normal((1, 32, 32, 3)).astype(np.float32)
+    out = hubm.apply(hubm.params, jnp.asarray(x))
+    m.eval()
+    with torch.no_grad():
+        want = m.forward_features(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(out["x_norm_clstoken"]), want["x_norm_clstoken"].numpy(),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
 def test_convnext_backbone_builder():
     m = hub.dinov3_convnext_tiny(
         key=jax.random.key(0), depths=(1, 1, 1, 1), dims=(8, 12, 16, 24)

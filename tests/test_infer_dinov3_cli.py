@@ -60,11 +60,31 @@ def test_segmentation_task(imgs, tmp_path):
     assert seg.max() < 7
 
 
+def test_segmentation_slide_mode(imgs, tmp_path):
+    from PIL import Image
+
+    out = str(tmp_path / "out")
+    main([
+        "--task", "segmentation", "--input_dir", imgs, "--output_dir", out,
+        "--image_size", "64", "--num_classes", "7",
+        "--slide", "--slide_crop", "32", "--slide_stride", "16",
+        "--backbone_overrides", TINY_VIT,
+        "--adapter_overrides", '{"interaction_indexes": [0, 1, 2, 3]}',
+        "--head_overrides",
+        '{"num_queries": 5, "nheads": 4, "dim_feedforward": 64,'
+        ' "enc_layers": 1, "dec_layers": 1, "hidden_dim": 32}',
+    ])
+    seg = np.asarray(Image.open(os.path.join(out, "im0_seg.png")))
+    assert seg.shape == (64, 64) and seg.max() < 7
+
+
 def test_detection_task(imgs, tmp_path):
     out = str(tmp_path / "out")
     main([
         "--task", "detection", "--input_dir", imgs, "--output_dir", out,
-        "--image_size", "64", "--score_threshold", "0.0",
+        # 40 is NOT divisible into the 2x16 window grid: the CLI must snap
+        # the resize up to 64 instead of tripping the windowed-path assert
+        "--image_size", "40", "--score_threshold", "0.0",
         "--backbone_overrides", TINY_VIT,
         "--head_overrides",
         '{"num_classes": 7, "num_queries_one2one": 6, "num_queries_one2many": 10,'
