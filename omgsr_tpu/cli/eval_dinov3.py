@@ -72,8 +72,10 @@ def load_backbone(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser("DINOv3 k-NN / linear / logreg eval")
-    parser.add_argument("--mode", choices=["knn", "linear", "logreg", "all"], default="all")
-    parser.add_argument("--train_dir", required=True)
+    parser.add_argument(
+        "--mode", choices=["knn", "linear", "logreg", "all", "zeroshot"], default="all"
+    )
+    parser.add_argument("--train_dir", default="", help="not used by --mode zeroshot")
     parser.add_argument("--val_dir", required=True)
     parser.add_argument("--arch", default="vitl16")
     parser.add_argument("--weights", default="", help=".pth (hub) or orbax backbone dir")
@@ -89,6 +91,17 @@ def main(argv=None):
     parser.add_argument("--logreg_cs", type=float, nargs="+", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", default="")
+    # zeroshot (dinotxt) mode
+    parser.add_argument("--dinotxt_weights", default="",
+                        help="dinotxt vision-head+text-encoder .pth (zeroshot)")
+    parser.add_argument("--tokenizer_dir", default="",
+                        help="local HF CLIPTokenizer dir (zeroshot)")
+    parser.add_argument("--prompt_template", default="a photo of a {}",
+                        help="class-name prompt template (zeroshot)")
+    parser.add_argument("--dinotxt_model_overrides", default="",
+                        help="JSON DINOTxtConfig overrides (zeroshot)")
+    parser.add_argument("--dinotxt_text_overrides", default="",
+                        help="JSON TextTransformerConfig overrides (zeroshot)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s %(message)s")
@@ -97,6 +110,11 @@ def main(argv=None):
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
+
+    if args.mode == "zeroshot":
+        return _run_zeroshot(args)
+    if not args.train_dir:
+        parser.error("--train_dir is required for knn/linear/logreg modes")
 
     from omgsr_tpu.eval.probes import (
         create_linear_input,
@@ -169,6 +187,56 @@ def main(argv=None):
         results["logreg_best_C"] = float(best_c)
         logger.info("logreg top-1 %.4f (C %.3g)", acc, best_c)
 
+    print(json.dumps(results, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def _run_zeroshot(args):
+    """CLIP-style zero-shot classification: dinotxt image features vs
+    class-prompt text features, top-1/top-5 on an ImageFolder val split.
+    The reference ships the pieces (build_model_for_eval returns
+    model+transform+tokenizer, build_dinotxt.py:199-238) and leaves the
+    protocol to an external harness; this is that harness, TPU-side."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omgsr_tpu import hub
+    from omgsr_tpu.eval.probes import extract_features, make_eval_transform, top_k_accuracy
+
+    if not args.tokenizer_dir:
+        raise SystemExit("--mode zeroshot requires --tokenizer_dir")
+    ov = lambda s: json.loads(s) if s else None  # noqa: E731
+    model = hub.dinov3_vitl16_dinotxt_tet1280d20h24l(
+        weights=args.dinotxt_weights or None,
+        backbone_weights=args.weights or None,
+        tokenizer_dir=args.tokenizer_dir,
+        backbone_arch=args.arch,
+        backbone_overrides=ov(args.vit_overrides),
+        model_overrides=ov(args.dinotxt_model_overrides),
+        text_overrides=ov(args.dinotxt_text_overrides),
+    )
+    va_imgs, va_labels, classes = load_imagefolder(args.val_dir)
+    prompts = [args.prompt_template.format(c.replace("_", " ")) for c in classes]
+    ids = jnp.asarray(model.extras["tokenize"](prompts))
+    txt = np.asarray(model.extras["encode_text"](model.params, ids))
+
+    enc = jax.jit(lambda p, x: model.extras["encode_image"](p, x))
+    transform = make_eval_transform(args.resize_size, args.crop_size)
+    img = extract_features(
+        lambda x: enc(model.params, x), va_imgs, args.batch_size, transform
+    )
+    logits = img @ txt.T
+    results = {"num_classes": len(classes), "n_val": len(va_imgs)}
+    ks = (1, 5) if len(classes) >= 5 else (1,)
+    results.update(
+        {f"zeroshot_{k}": v for k, v in top_k_accuracy(logits, va_labels, ks=ks).items()}
+    )
+    for k, v in results.items():
+        logger.info("%s: %s", k, v)
     print(json.dumps(results, indent=2))
     if args.output:
         with open(args.output, "w") as f:

@@ -107,7 +107,9 @@ def _vit_backbone(arch, weights, key, dtype, overrides):
     from omgsr_tpu.convert.porters import port_dinov3_vit
     from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
 
-    cfg = VIT_SIZES[arch]
+    # unknown arch (e.g. "custom") starts from the config defaults —
+    # overrides then define the size (test/bring-your-own-architecture hook)
+    cfg = VIT_SIZES.get(arch, DinoV3ViTConfig())
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     if weights is not None:

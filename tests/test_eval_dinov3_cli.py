@@ -52,3 +52,29 @@ def test_eval_dinov3_cli_knn_and_linear(tmp_path):
         "--probe_epochs", "200",
     ])
     assert res2["linear_top1"] > 0.9
+
+
+def test_eval_dinov3_cli_zeroshot(tmp_path):
+    """--mode zeroshot: dinotxt zero-shot classification runs end-to-end
+    and reports top-1 over the class-prompt logits."""
+    from tests.test_dinotxt_cli import _write_tokenizer
+
+    _write_folders(tmp_path)
+    tok_dir, vocab = _write_tokenizer(tmp_path)
+    out = str(tmp_path / "zs.json")
+    res = main([
+        "--mode", "zeroshot",
+        "--val_dir", str(tmp_path / "val"),
+        "--arch", "custom",
+        "--vit_overrides", '{"embed_dim": 32, "depth": 2, "num_heads": 2, "patch_size": 8}',
+        "--resize_size", "36", "--crop_size", "32",
+        "--tokenizer_dir", tok_dir,
+        "--dinotxt_model_overrides", '{"embed_dim": 64}',
+        "--dinotxt_text_overrides",
+        '{"context_length": 16, "vocab_size": %d, "dim": 32,'
+        ' "num_heads": 2, "num_layers": 1, "ffn_ratio": 2.0}' % vocab,
+        "--output", out,
+    ])
+    assert res["num_classes"] == 3 and res["n_val"] == 12
+    assert 0.0 <= res["zeroshot_top-1"] <= 1.0
+    assert json.load(open(out))["zeroshot_top-1"] == res["zeroshot_top-1"]
