@@ -259,3 +259,72 @@ def test_depther_end_to_end_tiny_vit():
     # (4, 5) and doubles 4x -> (64, 80); conv_depth doubles once more
     assert out.shape == (1, 128, 160, 1)
     assert bool(jnp.all(jnp.isfinite(out))) and bool(jnp.all(out >= 0.01))
+
+
+def test_depther_composed_matches_torch_build_depther():
+    """FULL composed depther parity: vendored torch build_depther (encoder
+    wrapper + DPTHead + FeaturesToDepth, models/__init__.py:134-186) vs
+    make_depther on the SAME weights, through the production porters (the
+    backbone state dict is passed in-memory). Pins the composition glue —
+    center padding, out-layer indices, backbone norm, depth binning — that
+    the per-module tests can't."""
+    import sys
+
+    REF_ROOT = "/root/reference/dinov3_gan/facebookresearch_dinov3_main"
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from dinov3.eval.dense.depth.models import build_depther
+    from dinov3.models.vision_transformer import DinoVisionTransformer
+
+    from omgsr_tpu.convert.porters import port_dinov3_vit
+    from omgsr_tpu.models.configs import DinoV3ViTConfig
+
+    torch.manual_seed(7)
+    m = DinoVisionTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+        n_storage_tokens=4, mask_k_bias=True, layerscale_init=1e-5,
+        pos_embed_rope_base=100.0, pos_embed_rope_dtype="fp32",
+        norm_layer="layernormbf16",
+    )
+    m.init_weights()
+    with torch.no_grad():
+        for name, p in m.named_parameters():
+            if p.ndim == 1 or "token" in name:
+                p.add_(0.05 * torch.randn_like(p))
+        for blk in m.blocks:
+            bm = blk.attn.qkv.bias_mask
+            third = bm.numel() // 3
+            bm.fill_(1.0)
+            bm[third : 2 * third] = 0.0
+    m.eval()
+
+    ref = build_depther(
+        m, backbone_out_layers=[0, 1, 2, 3], n_output_channels=4,
+        use_backbone_norm=True, use_batchnorm=True, use_cls_token=True,
+        min_depth=0.01, max_depth=10.0,
+        channels=16, post_process_channels=[8, 12, 16, 24],
+    )
+    with torch.no_grad():
+        for bn in ref[0].decoder.reassemble_blocks.batchnorm_layers:
+            bn.running_mean.normal_(0, 0.3)
+            bn.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    vit_cfg = DinoV3ViTConfig(embed_dim=32, depth=4, num_heads=2, patch_size=16)
+    bb = port_dinov3_vit(m.state_dict(), cfg=vit_cfg)
+    head_cfg = DPTConfig(
+        in_channels=(32,) * 4, channels=16, post_process_channels=(8, 12, 16, 24),
+        readout_type="project", n_output_channels=4, use_batchnorm=True,
+    )
+    head = port_dpt_state(ref[0].decoder.state_dict())
+    depther = make_depther(
+        bb, vit_cfg, head, head_cfg,
+        out_layers=[0, 1, 2, 3], use_backbone_norm=True,
+        min_depth=0.01, max_depth=10.0,
+    )
+    x = np.random.default_rng(8).standard_normal((1, 61, 66, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(jax.jit(depther)(jnp.asarray(x)))
+    assert got.shape == want.transpose(0, 2, 3, 1).shape
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-5)
