@@ -244,3 +244,105 @@ def test_encode_text_poolers():
     feats_first = dinotxt_encode_text(params, cfg_first, TEXT_TINY, jnp.asarray(ids))
     assert feats_argmax.shape == feats_first.shape == (2, DTX.embed_dim)
     assert not np.allclose(np.asarray(feats_argmax), np.asarray(feats_first))
+
+
+def test_dinotxt_composed_matches_torch():
+    """FULL DINOTxt parity on shared weights: vendored torch DINOTxt
+    (vision tower w/ head block + projection over a real DinoVisionTransformer,
+    text tower, logit scale) vs dinotxt_encode_image/encode_text/get_logits
+    through port_dinov3_vit + port_dinotxt_state. patch_token_layer=2
+    exercises the non-last-layer patch-token path (vision_tower.py:127-137)."""
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from dinov3.eval.text.dinotxt_model import DINOTxt
+    from dinov3.eval.text.dinotxt_model import DINOTxtConfig as RefDTXCfg
+    from dinov3.eval.text.text_transformer import TextTransformer
+    from dinov3.models.vision_transformer import DinoVisionTransformer
+
+    from omgsr_tpu.convert.porters import port_dinov3_vit
+    from omgsr_tpu.eval.dinotxt import (
+        dinotxt_encode_image,
+        dinotxt_get_logits,
+        port_dinotxt_state,
+    )
+
+    torch.manual_seed(11)
+    vb = DinoVisionTransformer(
+        img_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=2,
+        n_storage_tokens=2, mask_k_bias=True, layerscale_init=1e-5,
+        pos_embed_rope_base=100.0, pos_embed_rope_dtype="fp32",
+        norm_layer="layernormbf16",
+    )
+    tb = TextTransformer(
+        is_causal=True, ls_init_value=None,
+        context_length=TEXT_TINY.context_length, vocab_size=TEXT_TINY.vocab_size,
+        dim=TEXT_TINY.dim, num_heads=TEXT_TINY.num_heads,
+        num_layers=TEXT_TINY.num_layers, ffn_ratio=TEXT_TINY.ffn_ratio,
+    )
+    ref_cfg = RefDTXCfg(
+        embed_dim=24,
+        vision_model_use_class_token=True,
+        vision_model_use_patch_tokens=True,
+        vision_model_num_head_blocks=1,
+        vision_model_use_linear_projection=True,
+        vision_model_patch_tokens_pooler_type="mean",
+        vision_model_patch_token_layer=2,
+        text_model_num_head_blocks=0,
+        text_model_tokens_pooler_type="argmax",
+        text_model_use_linear_projection=True,
+    )
+    model = DINOTxt(model_config=ref_cfg, vision_backbone=vb, text_backbone=tb)
+    model.init_weights()
+    with torch.no_grad():
+        for blk in vb.blocks:
+            bm = blk.attn.qkv.bias_mask
+            third = bm.numel() // 3
+            bm.fill_(1.0)
+            bm[third : 2 * third] = 0.0
+    model.eval()
+
+    sd = model.state_dict()
+    vit_cfg = DinoV3ViTConfig(
+        embed_dim=32, depth=3, num_heads=2, patch_size=8, n_storage_tokens=2
+    )
+    bb = port_dinov3_vit(
+        {k[len("visual_model.backbone."):]: v for k, v in sd.items()
+         if k.startswith("visual_model.backbone.")},
+        cfg=vit_cfg,
+    )
+    params = port_dinotxt_state(sd)
+    cfg = DINOTxtConfig(
+        embed_dim=24,
+        vision_model_num_head_blocks=1,
+        vision_model_use_patch_tokens=True,
+        vision_model_use_linear_projection=True,
+        vision_model_patch_token_layer=2,
+        text_model_num_head_blocks=0,
+        text_model_tokens_pooler_type="argmax",
+        text_model_use_linear_projection=True,
+    )
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(1, TEXT_TINY.vocab_size - 1, (3, TEXT_TINY.context_length))
+    with torch.no_grad():
+        want_img = model.encode_image(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), normalize=True
+        ).numpy()
+        want_txt = model.encode_text(torch.from_numpy(ids), normalize=True).numpy()
+        want_li, want_lt = model.get_logits(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(ids)
+        )
+    got_img = np.asarray(
+        dinotxt_encode_image(params, cfg, vit_cfg, bb, jnp.asarray(x), normalize=True)[0]
+    )
+    got_txt = np.asarray(
+        dinotxt_encode_text(params, cfg, TEXT_TINY, jnp.asarray(ids), normalize=True)
+    )
+    np.testing.assert_allclose(got_img, want_img, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_txt, want_txt, rtol=2e-4, atol=2e-5)
+    got_li, got_lt = dinotxt_get_logits(
+        params, cfg, vit_cfg, TEXT_TINY, bb, jnp.asarray(x), jnp.asarray(ids)
+    )
+    np.testing.assert_allclose(np.asarray(got_li), want_li.numpy(), rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_lt), want_lt.numpy(), rtol=3e-4, atol=3e-5)
