@@ -54,6 +54,8 @@ def load_backbone(args):
     from omgsr_tpu.models.configs import VIT_SIZES, DinoV3ViTConfig
     from omgsr_tpu.models.dinov3_vit import init_dinov3_vit
 
+    if args.arch.startswith("convnext"):
+        return _load_convnext_backbone(args)
     cfg = VIT_SIZES[args.arch] if args.arch in VIT_SIZES else DinoV3ViTConfig()
     if args.vit_overrides:
         cfg = dataclasses.replace(cfg, **json.loads(args.vit_overrides))
@@ -68,6 +70,26 @@ def load_backbone(args):
         return restore_train_state(args.weights, abstract), cfg
     logger.warning("no --weights given — probing a randomly initialized backbone")
     return init_dinov3_vit(jax.random.key(args.seed), cfg), cfg
+
+
+def _load_convnext_backbone(args):
+    """hub ConvNeXt backbones probe through convnext_forward_features (the
+    vendored forward_features layout, convnext.py:207-235)."""
+    import jax
+
+    from omgsr_tpu.models.configs import CONVNEXT_SIZES, ConvNeXtConfig
+    from omgsr_tpu.models.convnext import init_convnext
+
+    size = args.arch.split("_", 1)[1] if "_" in args.arch else ""
+    cfg = CONVNEXT_SIZES.get(size, ConvNeXtConfig())
+    if args.vit_overrides:  # same flag: JSON overrides for the active arch
+        cfg = dataclasses.replace(cfg, **json.loads(args.vit_overrides))
+    if args.weights:
+        from omgsr_tpu.convert import port_dinov3_convnext
+
+        return port_dinov3_convnext(args.weights, cfg=cfg), cfg
+    logger.warning("no --weights given — probing a randomly initialized backbone")
+    return init_convnext(jax.random.key(args.seed), cfg, with_final_norm=True), cfg
 
 
 def main(argv=None):
@@ -137,12 +159,24 @@ def main(argv=None):
 
     n_blocks = max(args.probe_blocks, 1)
 
-    @jax.jit
-    def feats_fn(p, x):
-        outs = get_intermediate_layers(
-            p, vit_cfg, x, n=n_blocks, return_class_token=True
-        )
-        return create_linear_input(outs, n_blocks, args.probe_avgpool)
+    if args.arch.startswith("convnext"):
+        from omgsr_tpu.models.convnext import convnext_forward_features
+
+        @jax.jit
+        def feats_fn(p, x):
+            out = convnext_forward_features(p, x)
+            return create_linear_input(
+                [(out["x_norm_patchtokens"], out["x_norm_clstoken"])],
+                1, args.probe_avgpool,
+            )
+    else:
+
+        @jax.jit
+        def feats_fn(p, x):
+            outs = get_intermediate_layers(
+                p, vit_cfg, x, n=n_blocks, return_class_token=True
+            )
+            return create_linear_input(outs, n_blocks, args.probe_avgpool)
 
     transform = make_eval_transform(args.resize_size, args.crop_size)
     tr_f = extract_features(lambda x: feats_fn(backbone, x), tr_imgs, args.batch_size, transform)

@@ -211,16 +211,21 @@ def port_dinov3_convnext(pth_path: str, cfg=None, dtype=jnp.float32, validate: b
     )
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
+    # "norm." (exact prefix) is the model-level final LN; "norms.3.*" is its
+    # state-dict alias (norms ModuleList shares the module, convnext.py:188)
     tensors = {
         k: v.float().numpy()
         for k, v in sd.items()
-        if k.startswith(("downsample_layers", "stages"))
+        if k.startswith(("downsample_layers", "stages", "norm."))
     }
     # dwconv is grouped (C,1,7,7) -> (7,7,1,C); generic rule handles it via
     # transpose(2,3,1,0)
     params = _convert(tensors, dtype=dtype)
     if validate:
-        expected = jax.eval_shape(lambda k: init_convnext(k, cfg), jax.random.key(0))
+        expected = jax.eval_shape(
+            lambda k: init_convnext(k, cfg, with_final_norm="norm" in params),
+            jax.random.key(0),
+        )
         _validate_against(params, expected, "dinov3_convnext")
     return params
 

@@ -160,7 +160,11 @@ dinov3_vit7b16 = _make_vit_entry("vit7b16")
 def _make_convnext_entry(size):
     def builder(*, weights=None, key=None, dtype=jnp.float32, **overrides):
         from omgsr_tpu.convert.porters import port_dinov3_convnext
-        from omgsr_tpu.models.convnext import convnext_features, init_convnext
+        from omgsr_tpu.models.convnext import (
+            convnext_features,
+            convnext_forward_features,
+            init_convnext,
+        )
 
         cfg = CONVNEXT_SIZES[size]
         if overrides:
@@ -168,13 +172,19 @@ def _make_convnext_entry(size):
         if weights is not None:
             params = port_dinov3_convnext(weights, cfg=cfg, dtype=dtype)
         else:
-            params = init_convnext(_key(key), cfg, dtype)
+            params = init_convnext(_key(key), cfg, dtype, with_final_norm=True)
 
         def apply(p, x, num_stages: int = 4):
             return convnext_features(p["backbone"], x, num_stages=num_stages)
 
+        def forward_features(p, x):
+            return convnext_forward_features(p["backbone"], x)
+
         return HubModel(
-            params={"backbone": params}, cfgs={"backbone": cfg}, apply=apply
+            params={"backbone": params},
+            cfgs={"backbone": cfg},
+            apply=apply,
+            extras={"forward_features": forward_features},
         )
 
     builder.__name__ = f"dinov3_convnext_{size}"

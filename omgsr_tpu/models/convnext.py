@@ -42,10 +42,22 @@ def _init_block(key, dim, ls_init, dtype):
     }
 
 
-def init_convnext(key, cfg: ConvNeXtConfig, dtype=jnp.float32, num_stages: int = 4):
+def init_convnext(
+    key,
+    cfg: ConvNeXtConfig,
+    dtype=jnp.float32,
+    num_stages: int = 4,
+    with_final_norm: bool = False,
+):
+    """with_final_norm adds the model-level LayerNorm the vendored ConvNeXt
+    applies over [pooled-cls | patch] tokens in forward_features
+    (convnext.py:177,224-227) — needed by the probe/hub paths; the
+    DISTS/discriminator feature extractors never reach it."""
     dims = list(cfg.dims)
     keys = iter(jax.random.split(key, 8 + sum(cfg.depths)))
     params = {"downsample_layers": {}, "stages": {}}
+    if with_final_norm:
+        params["norm"] = init_norm(dims[-1], dtype)
     # stem: conv 4x4/s4 + channels-first LN
     params["downsample_layers"]["0"] = {
         "0": init_conv(next(keys), 4, 4, 3, dims[0], dtype=dtype),
@@ -93,6 +105,25 @@ def convnext_features(params, x, num_stages: int = 3):
             x = _block(params["stages"][str(i)][j], x)
         feats.append(x)
     return feats
+
+
+def convnext_forward_features(params, x):
+    """forward_features (convnext.py:207-235): all 4 stages, the global
+    -average-pooled 'cls' token concatenated ahead of the flattened patch
+    tokens, final LayerNorm over everything. Returns the same key layout as
+    the ViT so the probes/dinotxt consumers are backbone-agnostic."""
+    last = convnext_features(params, x, num_stages=4)[-1]
+    b, h, w, c = last.shape
+    tokens = jnp.concatenate(
+        [jnp.mean(last, axis=(1, 2))[:, None], last.reshape(b, h * w, c)], axis=1
+    )
+    normed = layer_norm(params["norm"], tokens, 1e-6)
+    return {
+        "x_norm_clstoken": normed[:, 0],
+        "x_storage_tokens": normed[:, 1:1],  # no registers (convnext.py:185)
+        "x_norm_patchtokens": normed[:, 1:],
+        "x_prenorm": tokens,
+    }
 
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])

@@ -78,3 +78,19 @@ def test_eval_dinov3_cli_zeroshot(tmp_path):
     assert res["num_classes"] == 3 and res["n_val"] == 12
     assert 0.0 <= res["zeroshot_top-1"] <= 1.0
     assert json.load(open(out))["zeroshot_top-1"] == res["zeroshot_top-1"]
+
+
+def test_eval_dinov3_cli_convnext_backbone(tmp_path):
+    """ConvNeXt backbones probe through convnext_forward_features."""
+    _write_folders(tmp_path)
+    res = main([
+        "--mode", "knn",
+        "--train_dir", str(tmp_path / "train"),
+        "--val_dir", str(tmp_path / "val"),
+        "--arch", "convnext_custom",
+        "--vit_overrides", '{"depths": [1, 1, 1, 1], "dims": [8, 12, 16, 24]}',
+        "--resize_size", "40", "--crop_size", "32",
+        "--knn_ks", "3",
+    ])
+    # color-separated classes classify perfectly even on random features
+    assert res["knn_top1_k3"] == 1.0

@@ -263,3 +263,42 @@ class TestFluxScanBlocks:
         ps = stack_block_params(p)
         out = F.flux_apply(ps, TINY_FLUX, x, 0.5, 1.0, pooled, ctx, txt_ids, img_ids)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_convnext_forward_features_matches_vendored():
+    """convnext_forward_features == the ACTUAL vendored ConvNeXt
+    forward_features (pooled-cls concat + final LN, convnext.py:207-235) on
+    shared weights through port_dinov3_convnext (incl. the final norm)."""
+    import sys
+
+    import torch
+
+    REF_ROOT = "/root/reference/dinov3_gan/facebookresearch_dinov3_main"
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from dinov3.models.convnext import ConvNeXt
+
+    from omgsr_tpu.convert.porters import port_dinov3_convnext
+
+    torch.manual_seed(0)
+    cfg = ConvNeXtConfig(depths=(1, 1, 2, 1), dims=(8, 12, 16, 24))
+    m = ConvNeXt(depths=list(cfg.depths), dims=list(cfg.dims))
+    m.init_weights()
+    with torch.no_grad():  # non-trivial final-LN affine
+        m.norm.weight.normal_(1.0, 0.2)
+        m.norm.bias.normal_(0, 0.2)
+    m.eval()
+    params = port_dinov3_convnext(m.state_dict(), cfg=cfg)
+    assert "norm" in params
+    x = np.random.default_rng(1).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = m.forward_features(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = CN.convnext_forward_features(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got["x_norm_clstoken"]), want["x_norm_clstoken"].numpy(),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["x_norm_patchtokens"]), want["x_norm_patchtokens"].numpy(),
+        rtol=2e-4, atol=2e-5,
+    )
