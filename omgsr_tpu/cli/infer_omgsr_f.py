@@ -59,7 +59,7 @@ def build_pipeline(args, dtype):
         flux_params = quantize_flux_for_serving(
             flux_params, act_quant=args.quantize == "int8_w8a8"
         )
-    return OMGSRFPipeline(
+    pipe = OMGSRFPipeline(
         vae_params,
         flux_params,
         vae_cfg,
@@ -69,6 +69,17 @@ def build_pipeline(args, dtype):
         vae_tile=args.vae_tile,
         vae_stats=args.vae_stats,
     )
+    shard = getattr(args, "shard", "none")
+    if shard != "none":
+        from omgsr_tpu.parallel import create_mesh
+
+        n = len(jax.devices())
+        if n < 2:
+            print(f"--shard {shard}: only one device visible — running unsharded")
+        else:
+            axis = "tp" if shard == "tp" else ("fsdp" if shard == "fsdp" else "data")
+            pipe.shard_for_mesh(create_mesh({axis: n}), strategy=shard)
+    return pipe
 
 
 def main(args=None):
@@ -131,6 +142,13 @@ def parse_args(argv=None):
                         help="tile the VAE beyond this many pixels (vaehook equivalent; for 2K+ outputs)")
     parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact", "auto"],
                         help="tiled-VAE GroupNorm statistics: fast (downsampled estimate, one XLA graph) or exact (tile-accumulated global stats == untiled output)")
+    parser.add_argument("--shard", type=str, default="none",
+                        choices=["none", "fsdp", "tp", "tiles"],
+                        help="multi-chip serving over all visible devices: "
+                             "fsdp/tp shard the 12B weights; tiles replicates "
+                             "weights (int8 fits one v5e) and shards the "
+                             "protocol's tile batch — near-linear per-image "
+                             "latency scaling")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="same-bucket serving batch size (images per device call)")
     parser.add_argument("--size_bucket", type=int, default=64,

@@ -68,10 +68,21 @@ def build_pipeline(args, dtype):
             vae_params["encoder"] = merge_lora(vae_params["encoder"], load_adapter_dir(vae_ad))
         if os.path.isdir(unet_ad):
             unet_params = merge_lora(unet_params, load_adapter_dir(unet_ad))
-    return OMGSRSPipeline(
+    pipe = OMGSRSPipeline(
         vae_params, unet_params, vae_cfg, unet_cfg, mid_timestep=args.mid_timestep,
         vae_tile=args.vae_tile, vae_stats=args.vae_stats,
     )
+    if getattr(args, "shard", "none") == "tiles":
+        import jax
+
+        from omgsr_tpu.parallel import create_mesh
+
+        n = len(jax.devices())
+        if n < 2:
+            print("--shard tiles: only one device visible — running unsharded")
+        else:
+            pipe.shard_for_mesh(create_mesh({"data": n}))
+    return pipe
 
 
 def main(args=None):
@@ -128,6 +139,9 @@ def parse_args(argv=None):
                         help="tile the VAE beyond this many pixels (vaehook equivalent; for 2K+ outputs)")
     parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact", "auto"],
                         help="tiled-VAE GroupNorm statistics: fast (downsampled estimate, one XLA graph) or exact (tile-accumulated global stats == untiled output)")
+    parser.add_argument("--shard", type=str, default="none", choices=["none", "tiles"],
+                        help="multi-chip serving: replicate weights, shard the "
+                             "protocol's tile batch over all visible devices")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="same-bucket serving batch size (images per device call)")
     parser.add_argument("--size_bucket", type=int, default=64,

@@ -95,7 +95,10 @@ class OMGSRFPipeline:
             )
             return unpack_latents(v, th, tw)
 
-        v = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
+        v = tiled_denoise(
+            z, denoise, tile_size, tile_overlap, self.tile_batch,
+            tile_sharding=getattr(self, "_tile_sharding", None),
+        )
         # Euler step to t=0: z + (0 - sigma_t) * v
         return z - self.sigma_t * v
 
@@ -134,8 +137,10 @@ class OMGSRFPipeline:
         the mesh's "tp" axis — attention heads and ffn hidden stay resident
         per-shard, so the per-block collective is one reduce per row-parallel
         projection instead of gathering every weight (the right trade when
-        the DiT matmuls dominate, SURVEY §2c). The VAE (84M) stays
-        replicated."""
+        the DiT matmuls dominate, SURVEY §2c). strategy="tiles": replicated
+        weights + the protocol's tile batch sharded over the "data" axis —
+        near-linear single-image latency scaling when the model fits per
+        chip (e.g. the int8 12B). The VAE (84M) stays replicated."""
         from omgsr_tpu.parallel import (
             device_put_params,
             replicated,
@@ -143,12 +148,30 @@ class OMGSRFPipeline:
             shard_params_fsdp,
         )
 
+        if strategy == "tiles":
+            # TILE-PARALLEL: weights replicated (int8 12B fits one v5e),
+            # the tile batch sharded over the mesh's "data" axis — the
+            # protocol's tiles are embarrassingly parallel, so single-image
+            # latency scales ~linearly with chips and the only collective
+            # is one all-gather of the small latent predictions before the
+            # stitch. Use fsdp/tp when the model does NOT fit per chip.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = replicated(mesh)
+            self.flux_params = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.flux_params
+            )
+            self.vae_params = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.vae_params
+            )
+            self._tile_sharding = NamedSharding(mesh, P("data"))
+            return self
         if strategy == "tp":
             shardings = shard_params_flux_tp(self.flux_params, mesh, min_size)
         elif strategy == "fsdp":
             shardings = shard_params_fsdp(self.flux_params, mesh, min_size)
         else:
-            raise ValueError(f"strategy must be 'fsdp' or 'tp', got {strategy!r}")
+            raise ValueError(f"strategy must be 'fsdp', 'tp' or 'tiles', got {strategy!r}")
         self.flux_params = device_put_params(self.flux_params, shardings)
         rep = replicated(mesh)
         self.vae_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.vae_params)

@@ -83,8 +83,28 @@ class OMGSRSPipeline:
             ).astype(tiles.dtype)
             return unet_sd.unet_apply(unet_params, self.unet_cfg, tiles, self.mid_timestep, ctx)
 
-        eps = tiled_denoise(z, denoise, tile_size, tile_overlap, self.tile_batch)
+        eps = tiled_denoise(
+            z, denoise, tile_size, tile_overlap, self.tile_batch,
+            tile_sharding=getattr(self, "_tile_sharding", None),
+        )
         return (z - self.sqrt_one_minus_alpha * eps) / self.sqrt_alpha
+
+    def shard_for_mesh(self, mesh, strategy: str = "tiles"):
+        """Multi-chip -S serving: the 866M stack fits every chip, so the
+        only useful strategy is tile parallelism — weights replicated, the
+        tiled UNet's tile batch sharded over the mesh's "data" axis (one
+        all-gather of the latent predictions before the stitch)."""
+        if strategy != "tiles":
+            raise ValueError(f"OMGSR-S supports strategy='tiles', got {strategy!r}")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from omgsr_tpu.parallel import replicated
+
+        rep = replicated(mesh)
+        self.vae_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.vae_params)
+        self.unet_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.unet_params)
+        self._tile_sharding = NamedSharding(mesh, P("data"))
+        return self
 
     def _forward(
         self,

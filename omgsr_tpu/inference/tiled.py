@@ -38,6 +38,7 @@ def tiled_denoise(
     tile_size: int,
     tile_overlap: int,
     tile_batch: int | None = 1,
+    tile_sharding=None,
 ):
     """latent (B, H, W, C); denoise_tile: (N, t, t, C) -> (N, t, t, C).
 
@@ -48,6 +49,15 @@ def tiled_denoise(
     reference, which processes one image and effectively one tile per call.
     tile_batch=None picks a padding-free divisor of the tile count
     (auto_tile_batch) — measured fastest on the 9-tile 1024-px protocol.
+
+    tile_sharding (a NamedSharding over the tile-batch dim, e.g.
+    P("data")): TILE-PARALLEL multi-chip inference — the protocol's tiles
+    are embarrassingly parallel, so with replicated weights (the int8 12B
+    fits one v5e) ONE batched denoiser call runs all tiles with the batch
+    dim sharded across chips; XLA all-gathers the small latent predictions
+    for the stitch. For single-image latency this beats TP (no per-block
+    collectives) whenever the model fits per-chip; use TP/FSDP when it
+    doesn't (pipeline_f.shard_for_mesh). Overrides tile_batch.
     """
     b, h, w, c = latent.shape
     t = min(tile_size, h, w)
@@ -56,6 +66,10 @@ def tiled_denoise(
 
     grid = tile_grid_2d(h, w, t, tile_overlap)
     n = b * len(grid)
+    if tile_sharding is not None:
+        return _tile_sharded_denoise(
+            latent, denoise_tile, t, grid, tile_sharding
+        )
     if tile_batch is None:
         tile_batch = auto_tile_batch(n)
     # (bi, oy, ox) triples over the whole image batch
@@ -102,4 +116,53 @@ def tiled_denoise(
     acc = jnp.zeros_like(latent)
     contrib = jnp.zeros_like(latent)
     (acc, contrib), _ = jax.lax.scan(step, (acc, contrib), (offs, valid))
+    return acc / contrib
+
+
+def _tile_sharded_denoise(latent, denoise_tile, t, grid, tile_sharding):
+    """One denoiser call over ALL tiles, batch dim sharded across the mesh
+    axis; padded with copies of the last tile to a shard multiple (padding
+    masked to zero stitch weight)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b, h, w, c = latent.shape
+    triples = [(bi, oy, ox) for bi in range(b) for (oy, ox) in grid]
+    n = len(triples)
+    mesh = tile_sharding.mesh
+    n_shards = 1
+    for ax in tile_sharding.spec:
+        if ax is None:
+            continue
+        for a in ax if isinstance(ax, tuple) else (ax,):
+            n_shards *= mesh.shape[a]
+    pad = (-n) % n_shards
+    offsets = jnp.asarray(triples + [triples[-1]] * pad, jnp.int32)
+    valid = jnp.asarray([1.0] * n + [0.0] * pad, latent.dtype)
+
+    def gather(off):
+        return jax.lax.dynamic_slice(latent, (off[0], off[1], off[2], 0), (1, t, t, c))[0]
+
+    tiles = jax.vmap(gather)(offsets)
+    tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)
+    preds = denoise_tile(tiles)
+    # replicate the (small) latent predictions for the sequential stitch
+    preds = jax.lax.with_sharding_constraint(preds, NamedSharding(mesh, P()))
+
+    weights = jnp.asarray(gaussian_tile_weights(t, t), latent.dtype)[None, :, :, None]
+
+    def scatter(carry, inp):
+        acc, contrib = carry
+        pred, off, vld = inp
+        wpred = (pred * weights[0] * vld)[None]
+        wcon = (weights[0] * vld)[None]
+        start = (off[0], off[1], off[2], 0)
+        cur = jax.lax.dynamic_slice(acc, start, (1, t, t, c))
+        acc = jax.lax.dynamic_update_slice(acc, cur + wpred, start)
+        curc = jax.lax.dynamic_slice(contrib, start, (1, t, t, c))
+        contrib = jax.lax.dynamic_update_slice(contrib, curc + wcon, start)
+        return (acc, contrib), None
+
+    acc = jnp.zeros_like(latent)
+    contrib = jnp.zeros_like(latent)
+    (acc, contrib), _ = jax.lax.scan(scatter, (acc, contrib), (preds, offsets, valid))
     return acc / contrib

@@ -181,3 +181,31 @@ def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):
         np.asarray(out_w).astype(np.float32) - np.asarray(out).astype(np.float32)
     ).mean()
     assert diff_w < 20.0  # act quant adds ~sqrt(2)x rounding over weight-only
+
+
+def test_infer_omgsr_s_cli_shard_tiles(sd_checkpoint, input_images, tmp_path):
+    """--shard tiles: the CLI builds a {data: n_devices} mesh, replicates
+    weights, and shards the tile batch; output matches the unsharded run."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    from omgsr_tpu.cli.infer_omgsr_s import main, parse_args
+
+    base = [
+        "--input_image", str(input_images / "small.png"),
+        "--sd_path", str(sd_checkpoint),
+        "--lora_path", str(sd_checkpoint / "lora"),
+        "--prompt_npz", str(input_images / "prompt.npz"),
+        "--process_size", "64", "--upscale", "4",
+        "--align_method", "nofix", "--weight_dtype", "fp32",
+    ]
+    out_ref = tmp_path / "ref"
+    main(parse_args(base + ["--output_dir", str(out_ref)]))
+    out_sh = tmp_path / "sh"
+    main(parse_args(base + ["--output_dir", str(out_sh), "--shard", "tiles"]))
+    a = np.asarray(Image.open(out_ref / "small.png"), np.int32)
+    b = np.asarray(Image.open(out_sh / "small.png"), np.int32)
+    assert np.abs(a - b).max() <= 1  # identical up to uint8 rounding

@@ -180,3 +180,42 @@ def test_tp_sharded_w8a8_pipeline_matches_replicated():
         if "act_quant" in jtu.keystr(p)
     ]
     assert markers and all("tp" not in s for s in markers), markers
+
+
+def test_tile_parallel_pipeline_matches_replicated():
+    """strategy='tiles': replicated weights, tile batch sharded over "data"
+    — the embarrassingly-parallel protocol scale-out. Output == single
+    -device for both -F and -S."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe_ref = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe_ref(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    mesh = create_mesh({"data": 8})
+    pipe_t = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    pipe_t.shard_for_mesh(mesh, strategy="tiles")
+    out = np.asarray(pipe_t(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    # -S side
+    from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
+    from omgsr_tpu.models import unet_sd as U
+    from tests.test_models import TINY_UNET, TINY_VAE
+
+    svp = V.init_vae(jax.random.key(5), TINY_VAE)
+    sup = U.init_unet(jax.random.key(6), TINY_UNET)
+    emb = jax.random.normal(jax.random.key(7), (1, 7, TINY_UNET.cross_attention_dim))
+    s_ref = OMGSRSPipeline(svp, sup, TINY_VAE, TINY_UNET)
+    want = np.asarray(s_ref(lq, emb, tile_size=16, tile_overlap=8))
+    s_t = OMGSRSPipeline(svp, sup, TINY_VAE, TINY_UNET)
+    s_t.shard_for_mesh(mesh)
+    got = np.asarray(s_t(lq, emb, tile_size=16, tile_overlap=8))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
