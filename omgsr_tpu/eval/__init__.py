@@ -1,10 +1,12 @@
 from omgsr_tpu.eval.probes import (  # noqa: F401
     create_linear_input,
     extract_features,
+    imagenet_c_mce,
     knn_classify,
     logistic_regression,
     make_eval_transform,
     sweep_logreg_C,
+    top_k_accuracy,
     train_linear_probes,
 )
 
