@@ -219,3 +219,29 @@ def test_tile_parallel_pipeline_matches_replicated():
     s_t.shard_for_mesh(mesh)
     got = np.asarray(s_t(lq, emb, tile_size=16, tile_overlap=8))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_tile_parallel_w8a8_pipeline_matches_replicated():
+    """The recommended multi-chip config — int8 w8a8 weights (fit per chip)
+    + tile parallelism — equals its unsharded self."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+    from omgsr_tpu.utils.quantize import quantize_tree_int8
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = quantize_tree_int8(
+        F.init_flux(jax.random.key(1), TINY_FLUX), min_params=1 << 6,
+        act_quant=True,
+    )
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe_ref = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe_ref(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+
+    pipe_t = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    pipe_t.shard_for_mesh(create_mesh({"data": 8}), strategy="tiles")
+    out = np.asarray(pipe_t(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
