@@ -60,6 +60,13 @@ class OMGSRFPipeline:
         self.tile_batch = tile_batch
         self.vae_tile = vae_tile
         self.vae_stats = vae_stats
+        self._rebuild_jit()
+
+    def _rebuild_jit(self):
+        """Fresh jit wrappers. Called again by shard_for_mesh: the traced
+        functions read `self._tile_sharding` at trace time, so a pipeline
+        that already ran unsharded must not serve a cached unsharded
+        executable after sharding."""
         self._jitted = functools.partial(
             jax.jit, static_argnames=("tile_size", "tile_overlap", "sample_latent")
         )(self._forward)
@@ -165,6 +172,7 @@ class OMGSRFPipeline:
                 lambda x: jax.device_put(x, rep), self.vae_params
             )
             self._tile_sharding = NamedSharding(mesh, P("data"))
+            self._rebuild_jit()
             return self
         if strategy == "tp":
             shardings = shard_params_flux_tp(self.flux_params, mesh, min_size)

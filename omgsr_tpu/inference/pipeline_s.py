@@ -66,6 +66,11 @@ class OMGSRSPipeline:
         alpha_t = float(ddpm_alphas_cumprod()[mid_timestep])
         self.sqrt_alpha = math.sqrt(alpha_t)
         self.sqrt_one_minus_alpha = math.sqrt(1.0 - alpha_t)
+        self._rebuild_jit()
+
+    def _rebuild_jit(self):
+        """Fresh jit wrappers (re-called by shard_for_mesh — the traces read
+        self._tile_sharding, so sharding must invalidate cached executables)."""
         self._jitted = functools.partial(
             jax.jit, static_argnames=("tile_size", "tile_overlap", "sample_latent")
         )(self._forward)
@@ -104,6 +109,7 @@ class OMGSRSPipeline:
         self.vae_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.vae_params)
         self.unet_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.unet_params)
         self._tile_sharding = NamedSharding(mesh, P("data"))
+        self._rebuild_jit()
         return self
 
     def _forward(

@@ -245,3 +245,25 @@ def test_tile_parallel_w8a8_pipeline_matches_replicated():
     pipe_t.shard_for_mesh(create_mesh({"data": 8}), strategy="tiles")
     out = np.asarray(pipe_t(lq, ctx, pooled, tile_size=16, tile_overlap=8))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_shard_for_mesh_after_first_call_invalidates_trace():
+    """A pipeline that already ran unsharded must re-trace after
+    shard_for_mesh (the tile-sharding constraint is read at trace time)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+    pipe.shard_for_mesh(create_mesh({"data": 8}), strategy="tiles")
+    out = np.asarray(pipe(lq, ctx, pooled, tile_size=16, tile_overlap=8))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+    # the sharded trace actually carries the constraint
+    assert pipe._tile_sharding is not None
