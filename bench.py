@@ -10,13 +10,16 @@ a timeout cannot erase earlier results; the last line is the most complete):
 Primary metric — the driver's north star (BASELINE.json: "OMGSR-F 256->1024
 in <1 s/image"): the full -F 256->1024 x4 protocol with the TRUE 12B FLUX
 DiT on one chip — jitted bicubic x4 pre-upscale, VAE encode at 1024 px,
-tiled DiT over 9 latent-64 tiles (overlap-32 gaussian stitch, padding-free
-tile_batch 3), x0 recovery, full-image VAE decode. The DiT is int8 (weight
--only storage to fit 11.9 GB in 16 GB HBM; OMGSR_BENCH_W8A8=1 additionally
-runs the matmuls s8xs8->s32 on the MXU). vs_baseline = value / 1.0 s, the
-metric and target finally naming the same protocol. If this section fails
-after a retry, the -S protocol below becomes the primary (explicitly named
-in "metric") rather than erasing the run.
+ONE full-image DiT pass (the reference's -F geometry: latent tile =
+process_size//8 = 128 = the whole 1024-px latent, so tiling only engages
+above the training resolution — infer/infer_omgsr_f.py:90 with
+infer_omgsr_f.sh's --process_size 1024), x0 recovery, full-image VAE
+decode. The DiT is int8 (weight-only storage to fit 11.9 GB in 16 GB HBM;
+OMGSR_BENCH_W8A8=1 additionally runs the matmuls s8xs8->s32 on the MXU).
+vs_baseline = value / 1.0 s, the metric and target finally naming the same
+protocol. If this section fails after a retry, the -S protocol below
+becomes the primary (explicitly named in "metric") rather than erasing
+the run.
 
 Extras:
   omgsr_s_256to1024_x4_s_per_image  — the -S (SD2.1 865M) protocol.
@@ -131,12 +134,16 @@ def main():
         up_f = jax.jit(lambda x: resize(x, 1024, 1024, "bicubic"))
 
         def sr(lq256):
-            return pipe_q(up_f(lq256), prompt_f, pooled_f, tile_size=64, tile_overlap=32)
+            # reference -F geometry: latent tile 128 == the full 1024-px
+            # latent -> ONE seq-4608 DiT pass (not 9 seq-1536 tiles, which
+            # is the -S geometry and costs 2.75x the protocol's FLOPs)
+            return pipe_q(up_f(lq256), prompt_f, pooled_f, tile_size=128, tile_overlap=64)
 
         t = _timed(sr, lambda: fresh((1, 256, 256, 3)), fence, iters=3)
 
         # opt-in, while the 12B is staged: the 512->2048 x4 long-context
-        # protocol (49 tiles, streaming tiled VAE; measured 7.999 s/image r3)
+        # protocol (9 latent-128 tiles per the reference geometry,
+        # streaming tiled VAE)
         if os.environ.get("OMGSR_BENCH_F12B_2048", "0") == "1":
             pipe_2k = OMGSRFPipeline(
                 fvae_params, flux_q, FLUX_VAE, FLUX_DEV,
@@ -145,7 +152,7 @@ def main():
             up_2k = jax.jit(lambda x: resize(x, 2048, 2048, "bicubic"))
 
             def sr_2k(lq512):
-                return pipe_2k(up_2k(lq512), prompt_f, pooled_f, tile_size=64, tile_overlap=32)
+                return pipe_2k(up_2k(lq512), prompt_f, pooled_f, tile_size=128, tile_overlap=64)
 
             extras["omgsr_f_512to2048_x4_int8_12b_s_per_image"] = round(
                 _timed(sr_2k, lambda: fresh((1, 512, 512, 3)), fence, iters=3), 5
@@ -308,7 +315,7 @@ def main():
         pipe_f = OMGSRFPipeline(fvae_params, flux_params, flux_cfg=proxy_cfg)
 
         def sr_f_1024(lq1024):
-            return pipe_f(lq1024, prompt_f, pooled_f, tile_size=64, tile_overlap=32)
+            return pipe_f(lq1024, prompt_f, pooled_f, tile_size=128, tile_overlap=64)
 
         return _timed(sr_f_1024, lambda: fresh((1, 1024, 1024, 3)), fence)
 

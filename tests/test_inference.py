@@ -129,6 +129,23 @@ class TestPipelines:
         assert out.shape == lq.shape
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_omgsr_f_single_pass_when_tile_covers_latent(self):
+        # The reference -F geometry (infer/infer_omgsr_f.py:90 with
+        # --process_size 1024) sets latent tile == the whole latent for a
+        # 256->1024 x4 job, so the DiT runs ONE full-image pass. Pin that
+        # tile_size == latent size takes the no-tile path (identical to any
+        # larger tile) rather than a degenerate 1-tile stitch.
+        vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+        fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+        pipe = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX, mid_timestep=244)
+        lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 64, 64, 3)))
+        ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+        pooled = jax.random.normal(jax.random.key(4), (1, 8))
+        # TINY_FLUX_VAE downscales by 2 -> latent 32x32
+        a = pipe(lq, ctx, pooled, tile_size=32, tile_overlap=16)
+        b = pipe(lq, ctx, pooled, tile_size=128, tile_overlap=64)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
 
 class TestColorFix:
     def test_adain_moves_stats(self):
