@@ -155,14 +155,24 @@ def init_flux_int8(
         one = flux_mod.stack_block_params(one)
         one = quantize_tree_int8(one, act_quant=act_quant)
 
-        def rep(n):
-            return lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:])
-
-        one["transformer_blocks"]["stacked"] = jax.tree.map(
-            rep(cfg.num_layers), one["transformer_blocks"]["stacked"]
-        )
-        one["single_transformer_blocks"]["stacked"] = jax.tree.map(
-            rep(cfg.num_single_layers), one["single_transformer_blocks"]["stacked"]
-        )
+    # Ship ONE block's leaves (~0.2 GB int8 at 12B) and replicate across the
+    # scan stack ON THE DEVICE: transferring the host-repeated 11.1 GB tree
+    # through the tunnel is what made staging take ~7.5 min (transfer-bound).
+    # The jit materializes the broadcast into real device buffers.
     dev = jax.devices()[0]
-    return jax.tree.map(lambda x: jax.device_put(x, dev), one)
+    one = jax.tree.map(lambda x: jax.device_put(x, dev), one)
+
+    def rep(n):
+        return jax.jit(
+            lambda t: jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:]), t
+            )
+        )
+
+    one["transformer_blocks"]["stacked"] = rep(cfg.num_layers)(
+        one["transformer_blocks"]["stacked"]
+    )
+    one["single_transformer_blocks"]["stacked"] = rep(cfg.num_single_layers)(
+        one["single_transformer_blocks"]["stacked"]
+    )
+    return one
