@@ -26,13 +26,16 @@ def _hanning_kernel():
     return (g / g.sum()).astype(np.float32)
 
 
-_L2POOL_KERNEL = jnp.asarray(_hanning_kernel())
+# numpy at module level (import-time jnp would initialize the backend)
+_L2POOL_KERNEL = _hanning_kernel()
 
 
 def l2_pool(x, stride: int = 1):
     """sqrt(conv(x^2, hanning_3x3) + 1e-12), depthwise, pad 1."""
     c = x.shape[-1]
-    k = jnp.tile(_L2POOL_KERNEL[:, :, None, None].astype(jnp.float32), (1, 1, 1, c))
+    k = jnp.tile(
+        jnp.asarray(_L2POOL_KERNEL, jnp.float32)[:, :, None, None], (1, 1, 1, c)
+    )
     y = jax.lax.conv_general_dilated(
         (x.astype(jnp.float32)) ** 2,
         k,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from omgsr_tpu.models.configs import ConvNeXtConfig
 from omgsr_tpu.models.layers import (
@@ -126,8 +127,10 @@ def convnext_forward_features(params, x):
     }
 
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy at module level (import-time jnp would initialize the backend);
+# broadcasting numpy against a traced array converts at use
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def normalize_from_pm1(x):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _mean_std(x, eps=1e-5):
@@ -30,16 +31,22 @@ def adain_color_fix(target, source):
     return (target - t_mean) / t_std * s_std + s_mean
 
 
-_WAVELET_KERNEL = jnp.asarray(
+# numpy at module level, jnp at use: a module-level jnp constant would
+# initialize the device backend at import time (hangs every CLI when the
+# remote TPU tunnel is down, and pins the platform before callers can
+# force CPU)
+_WAVELET_KERNEL = np.asarray(
     [[0.0625, 0.125, 0.0625], [0.125, 0.25, 0.125], [0.0625, 0.125, 0.0625]],
-    jnp.float32,
+    np.float32,
 )
 
 
 def wavelet_blur(x, radius: int):
     """Dilated 3x3 blur with replicate padding (infer/wavelet_color_fix.py:77-96)."""
     c = x.shape[-1]
-    kernel = jnp.tile(_WAVELET_KERNEL[:, :, None, None].astype(x.dtype), (1, 1, 1, c))
+    kernel = jnp.tile(
+        jnp.asarray(_WAVELET_KERNEL, x.dtype)[:, :, None, None], (1, 1, 1, c)
+    )
     pad = ((0, 0), (radius, radius), (radius, radius), (0, 0))
     xp = jnp.pad(x, pad, mode="edge")
     return jax.lax.conv_general_dilated(
