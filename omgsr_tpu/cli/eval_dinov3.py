@@ -25,7 +25,6 @@ import argparse
 import dataclasses
 import json
 import logging
-import os
 
 import numpy as np
 
@@ -33,19 +32,11 @@ logger = logging.getLogger("omgsr_tpu.eval_dinov3")
 
 
 def load_imagefolder(d: str):
-    from PIL import Image
+    """(paths, labels, classes) — lazy: extract_features decodes per batch
+    (an ImageNet-sized split would not fit host memory decoded up front)."""
+    from omgsr_tpu.eval.probes import list_imagefolder
 
-    classes = sorted(x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x)))
-    if not classes:
-        raise FileNotFoundError(f"no class subdirectories under {d}")
-    imgs, labels = [], []
-    for ci, c in enumerate(classes):
-        cd = os.path.join(d, c)
-        for f in sorted(os.listdir(cd)):
-            with Image.open(os.path.join(cd, f)) as im:
-                imgs.append(im.convert("RGB"))
-            labels.append(ci)
-    return imgs, np.asarray(labels), classes
+    return list_imagefolder(d)
 
 
 def load_backbone(args):
@@ -84,10 +75,15 @@ def _load_convnext_backbone(args):
     cfg = CONVNEXT_SIZES.get(size, ConvNeXtConfig())
     if args.vit_overrides:  # same flag: JSON overrides for the active arch
         cfg = dataclasses.replace(cfg, **json.loads(args.vit_overrides))
-    if args.weights:
+    if args.weights and args.weights.endswith(".pth"):
         from omgsr_tpu.convert import port_dinov3_convnext
 
         return port_dinov3_convnext(args.weights, cfg=cfg), cfg
+    if args.weights:  # orbax backbone dir (same contract as the ViT path)
+        from omgsr_tpu.training.checkpoint import restore_train_state
+
+        abstract = init_convnext(jax.random.key(0), cfg, with_final_norm=True)
+        return restore_train_state(args.weights, abstract), cfg
     logger.warning("no --weights given — probing a randomly initialized backbone")
     return init_convnext(jax.random.key(args.seed), cfg, with_final_norm=True), cfg
 
@@ -161,6 +157,13 @@ def main(argv=None):
 
     if args.arch.startswith("convnext"):
         from omgsr_tpu.models.convnext import convnext_forward_features
+
+        if n_blocks > 1:
+            # ConvNeXt probes only the final (normed) features; silently
+            # reporting a "last-n-blocks" number that wasn't would mislabel
+            # the protocol
+            parser.error("--probe_blocks > 1 is a ViT protocol; ConvNeXt "
+                         "archs probe the final feature stage only")
 
         @jax.jit
         def feats_fn(p, x):

@@ -136,9 +136,17 @@ def run_segmentation(model, paths, args):
     if args.slide:
         from omgsr_tpu.eval.segmentation import slide_inference
 
-        # slide_inference calls predict(crop, rescale_to=(h_crop, w_crop))
-        predict = lambda img, rescale_to: model.extras["predict"](  # noqa: E731
-            model.params, img, rescale_to=rescale_to
+        # slide_inference calls predict(crop, rescale_to=(h_crop, w_crop));
+        # every crop is exactly h_crop x w_crop, so ONE jitted graph serves
+        # all of them (rescale_to is a static int tuple)
+        predict_jit = jax.jit(
+            lambda prm, img, rescale_to: model.extras["predict"](
+                prm, img, rescale_to=rescale_to
+            ),
+            static_argnames=("rescale_to",),
+        )
+        predict = lambda img, rescale_to: predict_jit(  # noqa: E731
+            model.params, img, rescale_to
         )
         fwd = None
     else:

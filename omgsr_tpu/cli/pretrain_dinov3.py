@@ -435,30 +435,18 @@ def run_knn_eval(
     {f"knn_top1_k{k}": acc}."""
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from omgsr_tpu.eval.probes import (
         extract_features,
         knn_classify,
+        list_imagefolder,
         make_eval_transform,
     )
     from omgsr_tpu.models.dinov3_vit import dinov3_vit_apply
 
-    def load_split(d):
-        classes = sorted(
-            x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x))
-        )
-        imgs, labels = [], []
-        for ci, c in enumerate(classes):
-            cd = os.path.join(d, c)
-            for f in sorted(os.listdir(cd)):
-                with Image.open(os.path.join(cd, f)) as im:
-                    imgs.append(im.convert("RGB"))
-                labels.append(ci)
-        return imgs, np.asarray(labels), classes
-
-    tr_imgs, tr_labels, classes = load_split(train_dir)
-    va_imgs, va_labels, _ = load_split(val_dir)
+    # paths, not decoded images — extract_features opens lazily per batch
+    tr_imgs, tr_labels, classes = list_imagefolder(train_dir)
+    va_imgs, va_labels, _ = list_imagefolder(val_dir)
 
     # params as a jit ARG (captured-constant big trees break the
     # remote-compile transport; see CLAUDE.md)

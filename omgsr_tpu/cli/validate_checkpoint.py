@@ -348,12 +348,18 @@ def main(argv=None):
         )
 
     worst = 0.0
-    for comp in report.values():
-        for stage in comp.values():
+    errored = []
+    for name, comp in report.items():
+        for stage_name, stage in comp.items():
             if isinstance(stage, dict) and "max_rel" in stage:
                 worst = max(worst, stage["max_rel"])
+            elif isinstance(stage, dict) and "error" in stage:
+                errored.append(f"{name}.{stage_name}")
     report["worst_max_rel"] = worst
-    report["passes_1e-3_target"] = bool(worst <= 1e-3)
+    # an errored stage was never compared — it must fail the report, not
+    # silently drop out of `worst`
+    report["errored_stages"] = errored
+    report["passes_1e-3_target"] = bool(worst <= 1e-3 and not errored)
     out = json.dumps(report, indent=2)
     print(out)
     if args.report:

@@ -25,6 +25,7 @@ transform (data/transforms.py make_classification_eval_transform).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Sequence
 
 import jax
@@ -60,6 +61,25 @@ def make_eval_transform(resize_size: int = 256, crop_size: int = 224):
     return transform
 
 
+def list_imagefolder(d: str):
+    """dir-per-class listing -> (paths, labels, classes). Returns PATHS, not
+    decoded images: ImageNet-scale splits (1.28M train images) cannot be
+    held as resident RGB buffers — extract_features decodes lazily per
+    batch."""
+    import os
+
+    classes = sorted(x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x)))
+    if not classes:
+        raise FileNotFoundError(f"no class subdirectories under {d}")
+    paths, labels = [], []
+    for ci, c in enumerate(classes):
+        cd = os.path.join(d, c)
+        for f in sorted(os.listdir(cd)):
+            paths.append(os.path.join(cd, f))
+            labels.append(ci)
+    return paths, np.asarray(labels), classes
+
+
 def extract_features(
     apply_fn: Callable,
     images: Sequence,
@@ -69,11 +89,20 @@ def extract_features(
     """Run `apply_fn` (params-closed jitted forward returning (B, D)) over
     images host-batched; pads the tail batch so one graph serves every
     step (eval/utils.py extract_features, minus the distributed gather —
-    shardings handle that under pjit)."""
+    shardings handle that under pjit). Items may be PIL images, arrays, or
+    path strings — paths are opened lazily per batch and closed after the
+    transform, so memory stays O(batch) regardless of split size."""
     transform = transform or make_eval_transform()
+
+    def load(im):
+        if isinstance(im, (str, bytes)) or hasattr(im, "__fspath__"):
+            with Image.open(im) as f:
+                return transform(f.convert("RGB"))
+        return transform(im)
+
     feats = []
     for i in range(0, len(images), batch_size):
-        chunk = [transform(im) for im in images[i : i + batch_size]]
+        chunk = [load(im) for im in images[i : i + batch_size]]
         n = len(chunk)
         while len(chunk) < batch_size:
             chunk.append(chunk[-1])
@@ -245,6 +274,40 @@ def train_linear_probes(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("num_classes", "max_iters"))
+def _fit_logreg(x, y, c, *, num_classes: int, max_iters: int):
+    """One compile serves every C in a sweep: C enters as a TRACED scalar
+    (a closure-captured Python float would force one XLA compile per C —
+    45 remote compiles on the default grid)."""
+    import optax
+
+    d = x.shape[1]
+    params = {
+        "kernel": jnp.zeros((d, num_classes), jnp.float32),
+        "bias": jnp.zeros((num_classes,), jnp.float32),
+    }
+
+    def objective(p):
+        logits = x @ p["kernel"] + p["bias"]
+        ce = -jax.nn.log_softmax(logits)[jnp.arange(x.shape[0]), y]
+        return jnp.sum(ce) + jnp.sum(p["kernel"] ** 2) / (2.0 * c)
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(objective)
+    state = opt.init(params)
+
+    def body(_, carry):
+        params, state = carry
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(
+            grad, state, params, value=value, grad=grad, value_fn=objective
+        )
+        return optax.apply_updates(params, updates), state
+
+    params, _ = jax.lax.fori_loop(0, max_iters, body, (params, state))
+    return params
+
+
 def logistic_regression(
     train_features,
     train_labels,
@@ -256,40 +319,11 @@ def logistic_regression(
     """Full-batch multinomial logistic regression via optax.lbfgs on the
     sklearn objective the reference fits (LogRegModule:110-143): minimize
     sum_i CE_i + ||W||^2 / (2C), bias unpenalized. Returns {kernel, bias}."""
-    import optax
-
     x = jnp.asarray(train_features, jnp.float32)
     y = jnp.asarray(train_labels)
-    d = x.shape[1]
-    params = {
-        "kernel": jnp.zeros((d, num_classes), jnp.float32),
-        "bias": jnp.zeros((num_classes,), jnp.float32),
-    }
-
-    def objective(p):
-        logits = x @ p["kernel"] + p["bias"]
-        ce = -jax.nn.log_softmax(logits)[jnp.arange(x.shape[0]), y]
-        return jnp.sum(ce) + jnp.sum(p["kernel"] ** 2) / (2.0 * C)
-
-    opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(objective)
-
-    @jax.jit
-    def run(params):
-        state = opt.init(params)
-
-        def body(_, carry):
-            params, state = carry
-            value, grad = value_and_grad(params, state=state)
-            updates, state = opt.update(
-                grad, state, params, value=value, grad=grad, value_fn=objective
-            )
-            return optax.apply_updates(params, updates), state
-
-        params, _ = jax.lax.fori_loop(0, max_iters, body, (params, state))
-        return params
-
-    return run(params)
+    return _fit_logreg(
+        x, y, jnp.float32(C), num_classes=num_classes, max_iters=max_iters
+    )
 
 
 def sweep_logreg_C(

@@ -344,13 +344,6 @@ def _even_interval_layers(depth: int):
     return [m * depth // 4 - 1 for m in range(1, 5)]
 
 
-# eval/segmentation/models/__init__.py:14-19
-_M2F_INTERACTION_INDEXES = {
-    "vits16": (2, 5, 8, 11),
-    "vitb16": (2, 5, 8, 11),
-    "vitl16": (4, 11, 17, 23),
-    "vit7b16": (9, 19, 29, 39),
-}
 
 
 def _split_m2f_state(sd):
@@ -399,8 +392,17 @@ def _make_segmentor_entry(arch):
             port_m2f_state,
         )
 
+        # interaction indexes live in ONE table (the segmentation suite's,
+        # eval/segmentation/models/__init__.py:14-19); keys there carry the
+        # hub's "dinov3_" prefix
+        from omgsr_tpu.eval.segmentation import BACKBONE_INTERMEDIATE_LAYERS
+
         bb, cfg = _vit_backbone(arch, backbone_weights, key, dtype, backbone_overrides)
-        idx = _M2F_INTERACTION_INDEXES.get(arch, tuple(_even_interval_layers(cfg.depth)))
+        idx = tuple(
+            BACKBONE_INTERMEDIATE_LAYERS.get(
+                f"dinov3_{arch}", _even_interval_layers(cfg.depth)
+            )
+        )
         acfg = dataclasses.replace(
             AdapterConfig(interaction_indexes=idx), **(adapter_overrides or {})
         )

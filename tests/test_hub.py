@@ -165,10 +165,13 @@ def test_segmentor_builder():
 
 
 def test_segmentor_interaction_index_table():
-    """The hub per-backbone adapter indexes match the reference table
-    (eval/segmentation/models/__init__.py:14-19)."""
-    assert hub._M2F_INTERACTION_INDEXES["vitl16"] == (4, 11, 17, 23)
-    assert hub._M2F_INTERACTION_INDEXES["vit7b16"] == (9, 19, 29, 39)
+    """The hub builders consume the segmentation suite's single table
+    (eval/segmentation/models/__init__.py:14-19) — no duplicate copy."""
+    from omgsr_tpu.eval.segmentation import BACKBONE_INTERMEDIATE_LAYERS
+
+    assert tuple(BACKBONE_INTERMEDIATE_LAYERS["dinov3_vitl16"]) == (4, 11, 17, 23)
+    assert tuple(BACKBONE_INTERMEDIATE_LAYERS["dinov3_vit7b16"]) == (9, 19, 29, 39)
+    assert not hasattr(hub, "_M2F_INTERACTION_INDEXES")
 
 
 def test_detector_builder():
