@@ -22,6 +22,18 @@ from omgsr_tpu.models import flux, vae
 from omgsr_tpu.models.configs import FLUX_DEV, FLUX_VAE, FluxConfig, VAEConfig
 
 
+def flux_auto_tile_batch(tile_size: int, txt_len: int):
+    """Default tile batch for the tiled-DiT path when the caller passes
+    tile_batch=None. At seq >= 4096 tokens per tile each DiT forward is
+    already compute-dense and batching tiles only adds layout/VPU cost:
+    measured on the 12B w8a8 512->2048 protocol (9 seq-4608 tiles,
+    interleaved A/B) tb1 runs 5.44 s/image vs the divisor heuristic's tb3
+    at 6.11 s. Below that (e.g. seq-1536 tiles) the padding-free-divisor
+    heuristic (tiled.auto_tile_batch, returned here as None) still wins —
+    there the 3x weight-read amortization dominates."""
+    return 1 if (tile_size // 2) ** 2 + txt_len >= 4096 else None
+
+
 class OMGSRFPipeline:
     def __init__(
         self,
@@ -102,8 +114,11 @@ class OMGSRFPipeline:
             )
             return unpack_latents(v, th, tw)
 
+        tb = self.tile_batch
+        if tb is None:
+            tb = flux_auto_tile_batch(tile_size, prompt_embeds.shape[-2])
         v = tiled_denoise(
-            z, denoise, tile_size, tile_overlap, self.tile_batch,
+            z, denoise, tile_size, tile_overlap, tb,
             tile_sharding=getattr(self, "_tile_sharding", None),
         )
         # Euler step to t=0: z + (0 - sigma_t) * v

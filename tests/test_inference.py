@@ -75,6 +75,15 @@ class TestTiledDenoise:
         assert auto_tile_batch(2) == 2
         assert auto_tile_batch(1) == 1
 
+    def test_flux_auto_tile_batch_token_aware(self):
+        from omgsr_tpu.inference.pipeline_f import flux_auto_tile_batch
+
+        # -F tile 128 + T5 len 512 -> seq 4608: compute-dense, batch 1
+        # (measured: tb1 5.44 s vs tb3 6.11 s on the 12B 2048 protocol)
+        assert flux_auto_tile_batch(128, 512) == 1
+        # tile 64 + 512 -> seq 1536: defer to the divisor heuristic
+        assert flux_auto_tile_batch(64, 512) is None
+
     def test_auto_tile_batch_matches_explicit(self):
         x = jax.random.normal(jax.random.key(3), (1, 32, 48, 4))
         f = lambda t: jnp.tanh(t) + 0.25 * t
