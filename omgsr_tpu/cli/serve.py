@@ -1,0 +1,167 @@
+"""OMGSR serving daemon — a long-lived HTTP process around either pipeline.
+
+The reference has no serving story beyond re-running its folder loop
+(infer/infer_omgsr_s.py:69-107, full checkpoint load + warmup per run);
+here the weights stage once, the XLA graphs compile once (and persist via
+the compilation cache), and requests stream through warm graphs:
+
+    python -m omgsr_tpu.cli.serve --pipeline s \
+        --sd_path /ckpts/sd21 --lora_path /ckpts/omgsr_s \
+        --prompt_npz prompts.npz --port 8000 --warmup 256x256
+
+    curl -X POST --data-binary @lq.png \
+        "http://localhost:8000/v1/sr?align=adain" -o sr.png
+
+Pipeline construction and flags are shared with the infer CLIs (same
+checkpoint layouts, LoRA adapters, quantization, tiled VAE, mesh sharding).
+Dispatch defaults to serial batch-1 — measured optimal on one chip (see
+serving/server.py) — with opt-in fixed-size micro-batching for sharded
+meshes.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from omgsr_tpu.serving.server import ServeOptions, SRServer
+from omgsr_tpu.utils.dtypes import resolve_dtype
+
+
+def build_server(args) -> SRServer:
+    from omgsr_tpu.cli.prompts import load_prompt_npz
+    from omgsr_tpu.inference.batch_runner import dtype_np
+
+    dtype = resolve_dtype(args.weight_dtype)
+    tile_size = args.process_size // 8
+    tile_overlap = tile_size // 2
+
+    if args.pipeline == "s":
+        from omgsr_tpu.cli.infer_omgsr_s import build_pipeline
+
+        if args.prompt_npz:
+            prompt_embeds = load_prompt_npz(args.prompt_npz)["prompt_embeds"].astype(dtype)
+        else:
+            from omgsr_tpu.cli.prompts import encode_prompt_sd
+
+            prompt = " ".join(args.prompt) if isinstance(args.prompt, list) else args.prompt
+            prompt_embeds = encode_prompt_sd(args.sd_path, prompt, dtype)
+        pipe = build_pipeline(args, dtype)
+
+        def infer_fn(lq, i):
+            return pipe(
+                jnp.asarray(lq, dtype), prompt_embeds, tile_size, tile_overlap,
+                rng=jax.random.key(i),
+            )
+
+    else:
+        from omgsr_tpu.cli.infer_omgsr_f import build_pipeline
+
+        if args.prompt_npz:
+            d = load_prompt_npz(args.prompt_npz)
+            prompt_embeds = d["prompt_embeds"].astype(dtype)
+            pooled = d["pooled_prompt_embeds"].astype(dtype)
+        else:
+            from omgsr_tpu.cli.prompts import encode_prompt_flux
+
+            prompt = " ".join(args.prompt) if isinstance(args.prompt, list) else args.prompt
+            prompt_embeds, pooled, _ = encode_prompt_flux(args.flux_path, prompt, dtype=dtype)
+        pipe = build_pipeline(args, dtype)
+
+        def infer_fn(lq, i):
+            return pipe(
+                jnp.asarray(lq, dtype), prompt_embeds, pooled, tile_size, tile_overlap,
+                rng=jax.random.key(i),
+            )
+
+    warmup = tuple(
+        tuple(int(v) for v in s.split("x")) for s in (args.warmup or [])
+    )
+    opts = ServeOptions(
+        process_size=args.process_size,
+        upscale=args.upscale,
+        align_method=args.align_method,
+        size_bucket=args.size_bucket,
+        max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
+        queue_depth=args.queue_depth,
+        warmup_sizes=warmup,
+    )
+    return SRServer(infer_fn, opts, np_dtype=dtype_np(dtype))
+
+
+def main(args=None, serve_forever: bool = True):
+    if args is None:
+        args = parse_args()
+    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    server = build_server(args)
+    httpd = server.make_httpd(args.host, args.port)
+    if server.opts.warmup_sizes:
+        print(f"warming {list(server.opts.warmup_sizes)} ...", flush=True)
+        server.warmup()
+    host, port = httpd.server_address[:2]
+    print(f"omgsr-tpu serving on http://{host}:{port} "
+          f"(pipeline={args.pipeline}, process_size={args.process_size})", flush=True)
+    if serve_forever:
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+    return server, httpd
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="OMGSR serving daemon (TPU)")
+    parser.add_argument("--pipeline", type=str, default="s", choices=["s", "f"])
+    parser.add_argument("--sd_path", type=str, default=None, help="SD2.1 dir (pipeline=s)")
+    parser.add_argument("--flux_path", type=str, default=None, help="FLUX.1-dev dir (pipeline=f)")
+    parser.add_argument("--lora_path", type=str, default=None)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--process_size", type=int, default=None,
+                        help="default 512 for -s, 1024 for -f")
+    parser.add_argument("--upscale", type=int, default=4)
+    parser.add_argument("--align_method", type=str, default="adain",
+                        choices=["wavelet", "adain", "nofix"])
+    parser.add_argument("--weight_dtype", type=str, default="bf16",
+                        choices=["fp32", "fp16", "bf16"])
+    parser.add_argument("--prompt", type=str, nargs="*", default="")
+    parser.add_argument("--prompt_npz", type=str, default=None)
+    parser.add_argument("--mid_timestep", type=int, default=None,
+                        help="default 273 for -s, 244 for -f")
+    parser.add_argument("--guidance_scale", type=float, default=1.0)
+    parser.add_argument("--quantize", type=str, default="none",
+                        choices=["none", "int8", "int8_w8a8"],
+                        help="int8 DiT serving (pipeline=f; 12B fits one 16 GB v5e)")
+    parser.add_argument("--vae_tile", type=int, default=None)
+    parser.add_argument("--vae_stats", type=str, default="fast",
+                        choices=["fast", "exact", "auto"])
+    parser.add_argument("--shard", type=str, default="none",
+                        choices=["none", "fsdp", "tp", "tiles"])
+    parser.add_argument("--size_bucket", type=int, default=64)
+    parser.add_argument("--max_batch", type=int, default=1,
+                        help=">1 only pays on sharded meshes; single-chip is fastest at 1")
+    parser.add_argument("--batch_window_ms", type=float, default=5.0)
+    parser.add_argument("--queue_depth", type=int, default=64)
+    parser.add_argument("--warmup", type=str, nargs="*", default=None,
+                        metavar="HxW", help="input sizes to pre-compile, e.g. 256x256")
+    args = parser.parse_args(argv)
+    if args.pipeline == "s" and not args.sd_path:
+        parser.error("--sd_path is required with --pipeline s")
+    if args.pipeline == "f" and not args.flux_path:
+        parser.error("--flux_path is required with --pipeline f")
+    if args.process_size is None:
+        args.process_size = 512 if args.pipeline == "s" else 1024
+    if args.mid_timestep is None:
+        args.mid_timestep = 273 if args.pipeline == "s" else 244
+    return args
+
+
+if __name__ == "__main__":
+    main()

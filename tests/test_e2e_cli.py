@@ -21,9 +21,9 @@ from tests.test_models import TINY_FLUX, TINY_FLUX_VAE, TINY_UNET, TINY_VAE
 from tests.test_porters import _to_torch_layout
 
 
-@pytest.fixture(scope="module")
-def sd_checkpoint(tmp_path_factory):
-    root = tmp_path_factory.mktemp("fake_sd")
+def make_fake_sd_checkpoint(root):
+    """Fabricate a tiny HF-layout SD checkpoint dir + LoRA adapters under
+    `root` (shared with test_serving)."""
     (root / "vae").mkdir()
     (root / "unet").mkdir()
     vp = V.init_vae(jax.random.key(0), TINY_VAE)
@@ -48,6 +48,11 @@ def sd_checkpoint(tmp_path_factory):
     save_adapter(lv, str(lora_dir / "vae_encoder_lora_adapter"), rank=2, targets=SD_TARGET_MODULES)
     save_adapter(lu, str(lora_dir / "unet_lora_adapter"), rank=2, targets=SD_TARGET_MODULES)
     return root
+
+
+@pytest.fixture(scope="module")
+def sd_checkpoint(tmp_path_factory):
+    return make_fake_sd_checkpoint(tmp_path_factory.mktemp("fake_sd"))
 
 
 @pytest.fixture(scope="module")
