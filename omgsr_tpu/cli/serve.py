@@ -30,11 +30,11 @@ from omgsr_tpu.serving.server import ServeOptions, SRServer
 from omgsr_tpu.utils.dtypes import resolve_dtype
 
 
-def build_server(args) -> SRServer:
+def _make_infer_fn(args, dtype):
+    """Build a pipeline + prompt embeddings from the CLI args and return the
+    batch_runner-contract infer_fn. Called again on /v1/reload hot-swaps."""
     from omgsr_tpu.cli.prompts import load_prompt_npz
-    from omgsr_tpu.inference.batch_runner import dtype_np
 
-    dtype = resolve_dtype(args.weight_dtype)
     tile_size = args.process_size // 8
     tile_overlap = tile_size // 2
 
@@ -53,7 +53,7 @@ def build_server(args) -> SRServer:
         def infer_fn(lq, i):
             return pipe(
                 jnp.asarray(lq, dtype), prompt_embeds, tile_size, tile_overlap,
-                rng=jax.random.key(i),
+                rng=jax.random.key(i), sample_latent=args.latent == "sample",
             )
 
     else:
@@ -73,9 +73,18 @@ def build_server(args) -> SRServer:
         def infer_fn(lq, i):
             return pipe(
                 jnp.asarray(lq, dtype), prompt_embeds, pooled, tile_size, tile_overlap,
-                rng=jax.random.key(i),
+                rng=jax.random.key(i), sample_latent=args.latent == "sample",
             )
 
+    return infer_fn
+
+
+def build_server(args) -> SRServer:
+    import json
+
+    from omgsr_tpu.inference.batch_runner import dtype_np
+
+    dtype = resolve_dtype(args.weight_dtype)
     warmup = tuple(
         tuple(int(v) for v in s.split("x")) for s in (args.warmup or [])
     )
@@ -89,7 +98,26 @@ def build_server(args) -> SRServer:
         queue_depth=args.queue_depth,
         warmup_sizes=warmup,
     )
-    return SRServer(infer_fn, opts, np_dtype=dtype_np(dtype))
+    server = SRServer(_make_infer_fn(args, dtype), opts, np_dtype=dtype_np(dtype))
+
+    def reload_route(body: bytes) -> dict:
+        """POST /v1/reload {"lora_path": "...", "mid_timestep": n?} — rebuild
+        the pipeline from disk with a new adapter and hot-swap it behind the
+        dispatcher. Base weights re-port from safetensors; with the
+        persistent XLA cache the retrace is a disk hit."""
+        req = json.loads(body or b"{}")
+        allowed = {"lora_path", "mid_timestep", "guidance_scale"}
+        unknown = set(req) - allowed
+        if unknown:
+            raise ValueError(f"unknown reload fields: {sorted(unknown)}")
+        with server._reload_lock:
+            for k, v in req.items():
+                setattr(args, k, v)
+            server.swap_infer_fn(_make_infer_fn(args, dtype))
+        return {"status": "reloaded", **{k: req[k] for k in req}}
+
+    server.post_routes["/v1/reload"] = reload_route
+    return server
 
 
 def main(args=None, serve_forever: bool = True):
@@ -149,6 +177,8 @@ def parse_args(argv=None):
                         help=">1 only pays on sharded meshes; single-chip is fastest at 1")
     parser.add_argument("--batch_window_ms", type=float, default=5.0)
     parser.add_argument("--queue_depth", type=int, default=64)
+    parser.add_argument("--latent", type=str, default="sample", choices=["sample", "mean"],
+                        help="mean = deterministic output per input (no per-request noise draw)")
     parser.add_argument("--warmup", type=str, nargs="*", default=None,
                         metavar="HxW", help="input sizes to pre-compile, e.g. 256x256")
     args = parser.parse_args(argv)

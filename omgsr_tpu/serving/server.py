@@ -97,6 +97,10 @@ class SRServer:
         self._warm: list = []
         self._seq = 0
         self._stop = threading.Event()
+        # extra POST routes (path -> fn(body_bytes) -> dict), e.g. the CLI's
+        # /v1/reload adapter hot-swap; registered before make_httpd
+        self.post_routes: dict = {}
+        self._reload_lock = threading.Lock()
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._dispatcher.start()
         self._httpd: ThreadingHTTPServer | None = None
@@ -218,6 +222,13 @@ class SRServer:
             for _ in range(min(n, len(self._latencies))):
                 self._latencies.pop()
 
+    def swap_infer_fn(self, infer_fn):
+        """Atomically replace the model behind the dispatcher (adapter
+        hot-swap). In-flight groups finish on the old fn; queued requests
+        take the new one. The first request after a swap retraces — with the
+        persistent compilation cache that's a disk hit, not a fresh compile."""
+        self.infer_fn = infer_fn
+
     # ---- introspection ------------------------------------------------------
 
     def health(self) -> dict:
@@ -278,6 +289,15 @@ class SRServer:
 
             def do_POST(self):
                 path, _, query = self.path.partition("?")
+                if path in server.post_routes:
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        self._send_json(200, server.post_routes[path](self.rfile.read(n)))
+                    except Exception as e:  # noqa: BLE001
+                        with server._lock:
+                            server._stats["errors"] += 1
+                        self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
                 if path != "/v1/sr":
                     self._send_json(404, {"error": "not found"})
                     return

@@ -202,6 +202,78 @@ class TestServeCLI:
         finally:
             server.shutdown()
 
+    def test_reload_hot_swaps_adapter(self, tmp_path_factory, tmp_path):
+        from omgsr_tpu.cli.serve import main, parse_args
+        from omgsr_tpu.lora import SD_TARGET_MODULES, init_lora_tree, save_adapter
+        from omgsr_tpu.models import unet_sd as U
+        from omgsr_tpu.models import vae as V
+        from tests.test_e2e_cli import make_fake_sd_checkpoint
+        from tests.test_models import TINY_UNET, TINY_VAE
+
+        ckpt = make_fake_sd_checkpoint(tmp_path_factory.mktemp("fake_sd_reload"))
+        # a second adapter with NON-zero B factors (fresh LoRA inits B=0 and
+        # merges as identity, which a swap test couldn't see)
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        prng = np.random.default_rng(7)
+        perturb = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x + 0.05 * prng.standard_normal(x.shape).astype(np.float32), t
+        )
+        lora2 = tmp_path / "lora2"
+        save_adapter(
+            perturb(init_lora_tree(jax.random.key(4), vp["encoder"], SD_TARGET_MODULES, 2)),
+            str(lora2 / "vae_encoder_lora_adapter"), rank=2, targets=SD_TARGET_MODULES,
+        )
+        save_adapter(
+            perturb(init_lora_tree(jax.random.key(5), up, SD_TARGET_MODULES, 2)),
+            str(lora2 / "unet_lora_adapter"), rank=2, targets=SD_TARGET_MODULES,
+        )
+
+        rng = np.random.default_rng(0)
+        np.savez(tmp_path / "prompt.npz", prompt_embeds=rng.normal(size=(1, 7, 16)).astype(np.float32))
+        args = parse_args(
+            [
+                "--pipeline", "s", "--sd_path", str(ckpt),
+                "--lora_path", str(ckpt / "lora"),
+                "--prompt_npz", str(tmp_path / "prompt.npz"),
+                "--process_size", "64", "--upscale", "4",
+                "--weight_dtype", "fp32", "--port", "0", "--align_method", "nofix",
+                "--latent", "mean",  # deterministic: output differences below
+                # can only come from the swapped adapter
+            ]
+        )
+        server, httpd = main(args, serve_forever=False)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        host, port = httpd.server_address[:2]
+        base = f"http://{host}:{port}"
+        body = _png_bytes(8, 8)
+        try:
+            def sr():
+                req = urllib.request.Request(f"{base}/v1/sr", data=body, method="POST")
+                with urllib.request.urlopen(req) as r:
+                    return np.asarray(Image.open(io.BytesIO(r.read())))
+
+            before = sr()
+            np.testing.assert_array_equal(before, sr())  # mean-latent: deterministic
+            payload = json.dumps({"lora_path": str(lora2)}).encode()
+            req = urllib.request.Request(f"{base}/v1/reload", data=payload, method="POST")
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["status"] == "reloaded"
+            after = sr()
+            # same input, new adapter -> different SR output
+            assert np.abs(before.astype(int) - after.astype(int)).mean() > 0.5
+            # unknown fields are rejected, server keeps serving
+            bad = urllib.request.Request(
+                f"{base}/v1/reload", data=json.dumps({"sd_path": "/x"}).encode(), method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(bad)
+            assert e.value.code == 400
+            assert sr().shape == after.shape
+        finally:
+            server.shutdown()
+
     def test_parse_requires_ckpt(self):
         from omgsr_tpu.cli.serve import parse_args
 
