@@ -104,16 +104,46 @@ def build_server(args) -> SRServer:
         """POST /v1/reload {"lora_path": "...", "mid_timestep": n?} — rebuild
         the pipeline from disk with a new adapter and hot-swap it behind the
         dispatcher. Base weights re-port from safetensors; with the
-        persistent XLA cache the retrace is a disk hit."""
+        persistent XLA cache the retrace is a disk hit.
+
+        The OLD pipeline's device buffers are released BEFORE the new build —
+        required for --quantize int8, where the 12B DiT fills most of one
+        v5e's HBM and two copies cannot coexist. Requests arriving during
+        the rebuild fail fast with 502 (retryable) instead of queuing behind
+        a minutes-long 12B restage."""
+        import copy
+        import gc
+
         req = json.loads(body or b"{}")
         allowed = {"lora_path", "mid_timestep", "guidance_scale"}
         unknown = set(req) - allowed
         if unknown:
             raise ValueError(f"unknown reload fields: {sorted(unknown)}")
+        # build from a copy: a failed rebuild must not poison the args the
+        # next reload starts from
+        new_args = copy.copy(args)
+        for k, v in req.items():
+            setattr(new_args, k, v)
         with server._reload_lock:
-            for k, v in req.items():
-                setattr(args, k, v)
-            server.swap_infer_fn(_make_infer_fn(args, dtype))
+            old_fn = server.infer_fn
+
+            def rebuilding(lq, i):
+                raise RuntimeError("model reloading, retry shortly")
+
+            server.swap_infer_fn(rebuilding)
+            with server._dispatch_busy:  # wait out any in-flight dispatch
+                pass
+            del old_fn  # the only live reference to the old pipeline
+            gc.collect()
+            try:
+                server.swap_infer_fn(_make_infer_fn(new_args, dtype))
+            except Exception:
+                # device memory was freed; restore a working model from the
+                # still-committed args rather than serving the raising stub
+                gc.collect()  # drop any partially-built device buffers first
+                server.swap_infer_fn(_make_infer_fn(args, dtype))
+                raise
+            args.__dict__.update(new_args.__dict__)  # commit on success only
         return {"status": "reloaded", **{k: req[k] for k in req}}
 
     server.post_routes["/v1/reload"] = reload_route

@@ -21,12 +21,9 @@ import numpy as np
 
 from omgsr_tpu.ops.color import adain_color_fix, wavelet_color_fix
 from omgsr_tpu.utils.image_io import (
-    array01_to_pil,
-    finalize_output,
     load_image_rgb,
-    pil_to_array_01,
-    pil_to_array_pm1,
-    prepare_input,
+    postprocess_sr_output,
+    preprocess_sr_input,
 )
 
 
@@ -67,15 +64,9 @@ def run_batch(
     def loader():
         for i, name in enumerate(image_names):
             img = load_image_rgb(name)
-            inp, resize_flag, orig = prepare_input(img, process_size, upscale)
-            lq = pil_to_array_pm1(inp)
-            src01 = pil_to_array_01(inp)
-            true_hw = lq.shape[1:3]
-            if size_bucket:
-                ph = (-lq.shape[1]) % size_bucket
-                pw = (-lq.shape[2]) % size_bucket
-                if ph or pw:
-                    lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            lq, src01, resize_flag, orig, true_hw = preprocess_sr_input(
+                img, process_size, upscale, size_bucket
+            )
             q.put((i, name, lq, src01, resize_flag, orig, true_hw))
         q.put(stop)
 
@@ -86,17 +77,13 @@ def run_batch(
     fix_jit = jax.jit(fix) if fix else None
 
     def save_one(out_dev, src01, name, resize_flag, orig, true_hw, t_start, times, n_batch):
-        out_dev = out_dev[:, : true_hw[0], : true_hw[1], :]  # crop bucket pad
-        out01 = out_dev.astype(np.float32) * 0.5 + 0.5
-        if fix_jit is not None:
-            out01 = fix_jit(out01, src01)
-        out01 = np.asarray(jax.block_until_ready(out01))
+        out_pil = postprocess_sr_output(
+            out_dev, src01, true_hw, fix_jit, resize_flag, orig, upscale
+        )
         # per-image cost: the batch's wall time is shared by its images
         dt = (time.perf_counter() - t_start) / n_batch
         times.append(dt)
         print(f"Inference time per image: {dt}s")
-        out_pil = array01_to_pil(out01)
-        out_pil = finalize_output(out_pil, resize_flag, orig, upscale)
         bname = os.path.basename(name).split(".")[0] + ".png"
         out_pil.save(os.path.join(output_dir, bname))
 

@@ -116,7 +116,13 @@ class OMGSRFPipeline:
 
         tb = self.tile_batch
         if tb is None:
-            tb = flux_auto_tile_batch(tile_size, prompt_embeds.shape[-2])
+            # feed the selector the tile size tiled_denoise actually runs
+            # (clamped to the latent), not the nominal request — on a
+            # 96x160-latent image with tile 128 the real tiles are 96 px
+            # (seq 2816), the regime where the divisor heuristic wins
+            tb = flux_auto_tile_batch(
+                min(tile_size, z.shape[1], z.shape[2]), prompt_embeds.shape[-2]
+            )
         v = tiled_denoise(
             z, denoise, tile_size, tile_overlap, tb,
             tile_sharding=getattr(self, "_tile_sharding", None),

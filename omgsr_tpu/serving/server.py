@@ -38,13 +38,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from omgsr_tpu.utils.image_io import (
-    array01_to_pil,
-    finalize_output,
-    pil_to_array_01,
-    pil_to_array_pm1,
-    prepare_input,
-)
+from omgsr_tpu.utils.image_io import postprocess_sr_output, preprocess_sr_input
 
 
 @dataclass
@@ -57,6 +51,7 @@ class ServeOptions:
     batch_window_ms: float = 5.0  # max wait for co-batchable arrivals (max_batch>1)
     queue_depth: int = 64  # back-pressure: 503 beyond this many queued requests
     warmup_sizes: tuple = ()  # (H, W) input sizes to pre-compile at startup
+    request_timeout_s: float = 900.0  # 504 after this; covers a cold remote compile
 
 
 @dataclass
@@ -101,6 +96,7 @@ class SRServer:
         # /v1/reload adapter hot-swap; registered before make_httpd
         self.post_routes: dict = {}
         self._reload_lock = threading.Lock()
+        self._dispatch_busy = threading.Lock()  # held across each device dispatch
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._dispatcher.start()
         self._httpd: ThreadingHTTPServer | None = None
@@ -109,11 +105,17 @@ class SRServer:
 
     def _dispatch_loop(self):
         opts = self.opts
+        held = None  # a different-bucket request becomes the NEXT group's
+        # first (keeps FIFO fairness: re-queuing it behind later arrivals
+        # would let sustained same-bucket traffic starve it)
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if held is not None:
+                first, held = held, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             group = [first]
             if opts.max_batch > 1:
                 deadline = time.perf_counter() + opts.batch_window_ms / 1e3
@@ -128,10 +130,24 @@ class SRServer:
                     if nxt.lq.shape == first.lq.shape:
                         group.append(nxt)
                     else:
-                        # different bucket: dispatch it on its own next round
-                        self._queue.put(nxt)
+                        held = nxt
                         break
-            self._dispatch_group(group)
+            try:
+                self._dispatch_group(group)
+            except Exception as e:  # noqa: BLE001 — keep the dispatcher alive
+                for r in group:
+                    r.error = DispatchError(f"{type(e).__name__}: {e}")
+                    r.done.set()
+        # stop: fail everything still queued so no handler blocks forever
+        leftovers = [held] if held is not None else []
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for r in leftovers:
+            r.error = DispatchError("server shutting down")
+            r.done.set()
 
     def _dispatch_group(self, group):
         opts = self.opts
@@ -141,13 +157,14 @@ class SRServer:
         lq = np.concatenate([r.lq for r in group] + [group[-1].lq] * (b - n)).astype(
             self.np_dtype
         )
-        try:
-            out = self.infer_fn(lq, group[0].index)  # async device dispatch
-            for j, r in enumerate(group):
-                r.result = out[j : j + 1]
-        except Exception as e:  # noqa: BLE001 — surfaced per-request as 500s
-            for r in group:
-                r.error = e
+        with self._dispatch_busy:
+            try:
+                out = self.infer_fn(lq, group[0].index)  # async device dispatch
+                for j, r in enumerate(group):
+                    r.result = out[j : j + 1]
+            except Exception as e:  # noqa: BLE001 — a device/model fault, not bad input
+                for r in group:
+                    r.error = DispatchError(f"{type(e).__name__}: {e}")
         for r in group:
             r.done.set()
         with self._lock:
@@ -161,22 +178,16 @@ class SRServer:
         everything device-side happens via the dispatcher's single call."""
         from PIL import Image
 
-        import jax
-
         t_start = time.perf_counter()
         opts = self.opts
         img = Image.open(io.BytesIO(body)).convert("RGB")
-        inp, resize_flag, orig = prepare_input(img, opts.process_size, opts.upscale)
-        lq = pil_to_array_pm1(inp)
-        src01 = pil_to_array_01(inp)
-        true_hw = lq.shape[1:3]
-        if opts.size_bucket:
-            ph = (-lq.shape[1]) % opts.size_bucket
-            pw = (-lq.shape[2]) % opts.size_bucket
-            if ph or pw:
-                lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        lq, src01, resize_flag, orig, true_hw = preprocess_sr_input(
+            img, opts.process_size, opts.upscale, opts.size_bucket
+        )
 
         with self._lock:
+            if self._stop.is_set():
+                raise DispatchError("server shutting down")
             if self._in_flight >= opts.queue_depth:
                 raise OverloadedError(self._in_flight)
             self._in_flight += 1
@@ -184,18 +195,18 @@ class SRServer:
             req = _Request(lq=lq, index=self._seq)
         try:
             self._queue.put(req)
-            req.done.wait()
+            if not req.done.wait(timeout=opts.request_timeout_s):
+                raise RequestTimeout(
+                    f"no result within {opts.request_timeout_s}s (first compile "
+                    "in flight? use --warmup to pre-compile)"
+                )
             if req.error is not None:
                 raise req.error
-            out = req.result[:, : true_hw[0], : true_hw[1], :]
-            out01 = out.astype(np.float32) * 0.5 + 0.5
             method = align if align is not None else opts.align_method
-            fix = self._fix.get(method)
-            if fix is not None:
-                out01 = fix(out01, src01)
-            out01 = np.asarray(jax.block_until_ready(out01))
-            out_pil = array01_to_pil(out01)
-            out_pil = finalize_output(out_pil, resize_flag, orig, opts.upscale)
+            out_pil = postprocess_sr_output(
+                req.result, src01, true_hw, self._fix.get(method),
+                resize_flag, orig, opts.upscale,
+            )
             buf = io.BytesIO()
             out_pil.save(buf, format="PNG")
             with self._lock:
@@ -208,13 +219,19 @@ class SRServer:
 
     def warmup(self):
         """Pre-compile each configured (H, W) input size (plus its bucket pad)
-        so the first real request doesn't pay the XLA compile."""
+        so the first real request doesn't pay the XLA compile. Uses a noise
+        image and the configured align_method so the jitted color-fix graph
+        warms too (a constant image would degenerate adain's per-channel
+        std)."""
+        rng = np.random.default_rng(0)
         for h, w in self.opts.warmup_sizes:
             png = io.BytesIO()
             from PIL import Image
 
-            Image.new("RGB", (w, h)).save(png, format="PNG")
-            self.process_image(png.getvalue(), align="nofix")
+            Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+                png, format="PNG"
+            )
+            self.process_image(png.getvalue())
             self._warm.append([h, w])
         with self._lock:  # warmup traffic shouldn't count as served requests
             n = len(self.opts.warmup_sizes)
@@ -317,7 +334,15 @@ class SRServer:
                     with server._lock:
                         server._stats["errors"] += 1
                     self._send_json(503, {"error": f"overloaded ({e.args[0]} queued)"})
-                except Exception as e:  # noqa: BLE001 — bad input or device error
+                except RequestTimeout as e:
+                    with server._lock:
+                        server._stats["errors"] += 1
+                    self._send_json(504, {"error": str(e)})
+                except DispatchError as e:  # device/model fault — retryable 5xx
+                    with server._lock:
+                        server._stats["errors"] += 1
+                    self._send_json(502, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 — bad input (undecodable image, ...)
                     with server._lock:
                         server._stats["errors"] += 1
                     self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
@@ -334,4 +359,12 @@ class SRServer:
 
 
 class OverloadedError(RuntimeError):
-    pass
+    """Queue depth exceeded -> 503."""
+
+
+class DispatchError(RuntimeError):
+    """Device/model fault during dispatch (not a client error) -> 502."""
+
+
+class RequestTimeout(RuntimeError):
+    """No result within request_timeout_s -> 504."""

@@ -54,3 +54,38 @@ def finalize_output(out_pil: Image.Image, resize_flag: bool, orig_size, upscale:
         ow, oh = orig_size
         out_pil = out_pil.resize((int(upscale * ow), int(upscale * oh)))
     return out_pil
+
+
+def preprocess_sr_input(img: Image.Image, process_size: int, upscale: int, size_bucket: int):
+    """The full SR input protocol shared by the batch runner and the serving
+    daemon: pre-resize (reference infer/infer_omgsr_s.py:69-84), [-1,1] and
+    [0,1] arrays, and reflect-pad up to the compile-shape bucket.
+
+    Returns (lq (1,H,W,3) [-1,1] bucket-padded, src01, resize_flag,
+    orig (w,h), true_hw before padding)."""
+    inp, resize_flag, orig = prepare_input(img, process_size, upscale)
+    lq = pil_to_array_pm1(inp)
+    src01 = pil_to_array_01(inp)
+    true_hw = lq.shape[1:3]
+    if size_bucket:
+        ph = (-lq.shape[1]) % size_bucket
+        pw = (-lq.shape[2]) % size_bucket
+        if ph or pw:
+            lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return lq, src01, resize_flag, orig, true_hw
+
+
+def postprocess_sr_output(
+    out_dev, src01, true_hw, fix_jit, resize_flag, orig_size, upscale: int
+) -> Image.Image:
+    """Inverse protocol: crop the bucket pad, [-1,1]->[0,1], optional jitted
+    color fix against src01, fetch, and undo the pre-resize."""
+    import jax  # deferred: keep this module importable without a backend
+
+    out_dev = out_dev[:, : true_hw[0], : true_hw[1], :]
+    out01 = out_dev.astype(np.float32) * 0.5 + 0.5
+    if fix_jit is not None:
+        out01 = fix_jit(out01, src01)
+    out01 = np.asarray(jax.block_until_ready(out01))
+    out_pil = array01_to_pil(out01)
+    return finalize_output(out_pil, resize_flag, orig_size, upscale)

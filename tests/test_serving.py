@@ -118,6 +118,73 @@ class TestSRServerHTTP:
 
 
 class TestDispatch:
+    def test_device_fault_is_502(self):
+        def boom(lq, i):
+            raise RuntimeError("backend fell over")
+
+        srv = SRServer(boom, ServeOptions(process_size=32, upscale=4, size_bucket=16))
+        httpd = srv.make_httpd("127.0.0.1", 0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        host, port = httpd.server_address[:2]
+        try:
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/sr", data=_png_bytes(8, 8), method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 502  # retryable server fault, not 400
+        finally:
+            srv.shutdown()
+
+    def test_timeout_is_504(self):
+        import time as _time
+
+        def slow(lq, i):
+            _time.sleep(1.0)
+            raise AssertionError("unreached by the handler")
+
+        srv = SRServer(
+            slow,
+            ServeOptions(process_size=32, upscale=4, size_bucket=16, request_timeout_s=0.05),
+        )
+        httpd = srv.make_httpd("127.0.0.1", 0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        host, port = httpd.server_address[:2]
+        try:
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/sr", data=_png_bytes(8, 8), method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 504
+        finally:
+            srv.shutdown()
+
+    def test_shutdown_fails_queued_requests(self):
+        """Requests still queued at shutdown get an error, not a hang."""
+        import time as _time
+
+        def slow(lq, i):
+            _time.sleep(0.5)
+            raise RuntimeError("never completes in time")
+
+        srv = SRServer(slow, ServeOptions(process_size=32, upscale=4, size_bucket=16))
+        errors = []
+
+        def call():
+            try:
+                srv.process_image(_png_bytes(8, 8), align="nofix")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        ts = [threading.Thread(target=call) for _ in range(3)]
+        [t.start() for t in ts]
+        _time.sleep(0.1)  # let one dispatch start, leave the rest queued
+        srv.shutdown()
+        [t.join(timeout=10) for t in ts]
+        assert not any(t.is_alive() for t in ts)
+        assert len(errors) == 3
+
     def test_backpressure_503(self):
         srv = SRServer(
             _tiny_infer_fn(),
@@ -271,6 +338,17 @@ class TestServeCLI:
                 urllib.request.urlopen(bad)
             assert e.value.code == 400
             assert sr().shape == after.shape
+            # failed REBUILD (value that breaks pipeline construction):
+            # 400, the previous model is restored, and the committed config
+            # is not poisoned — output matches the post-swap result exactly
+            bad2 = urllib.request.Request(
+                f"{base}/v1/reload",
+                data=json.dumps({"mid_timestep": "nope"}).encode(), method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(bad2)
+            assert e.value.code == 400
+            np.testing.assert_array_equal(sr(), after)
         finally:
             server.shutdown()
 
