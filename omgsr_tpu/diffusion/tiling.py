@@ -46,6 +46,8 @@ def tile_grid_1d(size: int, tile: int, overlap: int) -> list[int]:
     """
     if tile >= size:
         return [0]
+    if overlap >= tile:
+        raise ValueError(f"tile_overlap {overlap} must be < tile {tile}")
     stride = tile - overlap
     # number of tiles: smallest n with (n-1)*stride + tile >= size
     n = 1

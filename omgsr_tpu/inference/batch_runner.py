@@ -62,13 +62,19 @@ def run_batch(
     stop = object()
 
     def loader():
-        for i, name in enumerate(image_names):
-            img = load_image_rgb(name)
-            lq, src01, resize_flag, orig, true_hw = preprocess_sr_input(
-                img, process_size, upscale, size_bucket
-            )
-            q.put((i, name, lq, src01, resize_flag, orig, true_hw))
-        q.put(stop)
+        # per-image guard: one unreadable file must not kill the thread
+        # before the stop sentinel (the main loop would block forever)
+        try:
+            for i, name in enumerate(image_names):
+                try:
+                    img = load_image_rgb(name)
+                    item = preprocess_sr_input(img, process_size, upscale, size_bucket)
+                except Exception as e:  # noqa: BLE001
+                    print(f"skipping {name}: {type(e).__name__}: {e}")
+                    continue
+                q.put((i, name, *item))
+        finally:
+            q.put(stop)
 
     t = threading.Thread(target=loader, daemon=True)
     t.start()

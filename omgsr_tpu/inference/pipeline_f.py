@@ -204,6 +204,10 @@ class OMGSRFPipeline:
         self.flux_params = device_put_params(self.flux_params, shardings)
         rep = replicated(mesh)
         self.vae_params = jax.tree.map(lambda x: jax.device_put(x, rep), self.vae_params)
+        # a previous strategy="tiles" call may have left a tile sharding on
+        # another mesh; fsdp/tp tiles run unsharded — clear it and retrace
+        self._tile_sharding = None
+        self._rebuild_jit()
         return self
 
     def __call__(

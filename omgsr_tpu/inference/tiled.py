@@ -64,6 +64,10 @@ def tiled_denoise(
     if h * w <= tile_size * tile_size:
         return denoise_tile(latent)
 
+    # when the tile clamps to a short latent dim, scale the overlap with it
+    # (overlap >= tile would make the grid stride non-positive): a 64x304
+    # latent at the -F defaults 128/64 runs 64-px tiles with 32 overlap
+    tile_overlap = min(tile_overlap, t // 2)
     grid = tile_grid_2d(h, w, t, tile_overlap)
     n = b * len(grid)
     if tile_sharding is not None:
@@ -90,24 +94,13 @@ def tiled_denoise(
     def gather(off):
         return jax.lax.dynamic_slice(latent, (off[0], off[1], off[2], 0), (1, t, t, c))[0]
 
+    scatter = _make_scatter(weights, t, c)
+
     def step(carry, inp):
         acc, contrib = carry
         off_b, valid_b = inp
         tiles = jax.vmap(gather)(off_b)  # (tb, t, t, C)
         preds = denoise_tile(tiles)
-
-        def scatter(carry, tile_inp):
-            acc, contrib = carry
-            pred, off, vld = tile_inp
-            wpred = (pred * weights[0] * vld)[None]
-            wcon = (weights[0] * vld)[None]
-            start = (off[0], off[1], off[2], 0)
-            cur = jax.lax.dynamic_slice(acc, start, (1, t, t, c))
-            acc = jax.lax.dynamic_update_slice(acc, cur + wpred, start)
-            curc = jax.lax.dynamic_slice(contrib, start, (1, t, t, c))
-            contrib = jax.lax.dynamic_update_slice(contrib, curc + wcon, start)
-            return (acc, contrib), None
-
         (acc, contrib), _ = jax.lax.scan(
             scatter, (acc, contrib), (preds, off_b, valid_b.astype(latent.dtype))
         )
@@ -117,6 +110,26 @@ def tiled_denoise(
     contrib = jnp.zeros_like(latent)
     (acc, contrib), _ = jax.lax.scan(step, (acc, contrib), (offs, valid))
     return acc / contrib
+
+
+def _make_scatter(weights, t, c):
+    """lax.scan body adding one gaussian-weighted tile prediction into the
+    (acc, contrib) stitch buffers — shared by the unsharded and
+    tile-sharded paths so the stitch math cannot diverge between them."""
+
+    def scatter(carry, inp):
+        acc, contrib = carry
+        pred, off, vld = inp
+        wpred = (pred * weights[0] * vld)[None]
+        wcon = (weights[0] * vld)[None]
+        start = (off[0], off[1], off[2], 0)
+        cur = jax.lax.dynamic_slice(acc, start, (1, t, t, c))
+        acc = jax.lax.dynamic_update_slice(acc, cur + wpred, start)
+        curc = jax.lax.dynamic_slice(contrib, start, (1, t, t, c))
+        contrib = jax.lax.dynamic_update_slice(contrib, curc + wcon, start)
+        return (acc, contrib), None
+
+    return scatter
 
 
 def _tile_sharded_denoise(latent, denoise_tile, t, grid, tile_sharding):
@@ -150,18 +163,7 @@ def _tile_sharded_denoise(latent, denoise_tile, t, grid, tile_sharding):
 
     weights = jnp.asarray(gaussian_tile_weights(t, t), latent.dtype)[None, :, :, None]
 
-    def scatter(carry, inp):
-        acc, contrib = carry
-        pred, off, vld = inp
-        wpred = (pred * weights[0] * vld)[None]
-        wcon = (weights[0] * vld)[None]
-        start = (off[0], off[1], off[2], 0)
-        cur = jax.lax.dynamic_slice(acc, start, (1, t, t, c))
-        acc = jax.lax.dynamic_update_slice(acc, cur + wpred, start)
-        curc = jax.lax.dynamic_slice(contrib, start, (1, t, t, c))
-        contrib = jax.lax.dynamic_update_slice(contrib, curc + wcon, start)
-        return (acc, contrib), None
-
+    scatter = _make_scatter(weights, t, c)
     acc = jnp.zeros_like(latent)
     contrib = jnp.zeros_like(latent)
     (acc, contrib), _ = jax.lax.scan(scatter, (acc, contrib), (preds, offsets, valid))

@@ -129,8 +129,13 @@ class _use_hook:
 # ----------------------------------------------------------------------------
 
 
-def _net_encode(params, cfg, x, rng, sample):
+def _net_encode(params, cfg, x, rng, sample, idx=None):
     moments = vae_mod.vae_encode_features(params, cfg, x)
+    if rng is not None and idx is not None:
+        # per-tile key: identical keys + identical window shapes would give
+        # every interior tile the SAME noise draw (a spatially periodic
+        # noise pattern across the streamed latent)
+        rng = jax.random.fold_in(rng, idx)
     z = vae_mod.sample_diagonal_gaussian(moments, rng, sample=sample and rng is not None)
     if cfg.shift_factor is not None:
         return (z - cfg.shift_factor) * cfg.scaling_factor
@@ -173,7 +178,7 @@ def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_de
     stats = tuple(collect.stats)
 
     win = tile + 2 * pad
-    if h < win or w < win:
+    if h <= win and w <= win:
         # too small to tile: run whole input with the global stats
         with _use_hook(_ReplayHook(stats)):
             return net(params, cfg, x)
@@ -182,18 +187,21 @@ def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_de
     # align window starts (and tile offsets) to the total downscale factor
     align = scale_den if scale_den > 1 else 1
 
-    def grid_1d(size):
-        n = math.ceil(size / tile)
+    def axis_plan(size):
+        """Per-axis tiling; a dim that fits one window is spanned whole (a
+        1024x8192 input tiles along W only — the gate is on max(H, W))."""
+        if size <= win:
+            return [0], [0], size, size
         offs, wstarts = [], []
-        for i in range(n):
+        for i in range(math.ceil(size / tile)):
             o = min(i * tile, size - tile) // align * align
             ws = min(max(0, o - pad), size - win) // align * align
             offs.append(o)
             wstarts.append(ws)
-        return offs, wstarts
+        return offs, wstarts, tile, win
 
-    ys, wys = grid_1d(h)
-    xs, wxs = grid_1d(w)
+    ys, wys, tile_h, win_h = axis_plan(h)
+    xs, wxs, tile_w, win_w = axis_plan(w)
     # per-tile: window start (wy,wx), output placement (oy,ox), crop offset
     tiles = [
         (wy, wx, oy, ox, oy - wy, ox - wx)
@@ -202,34 +210,39 @@ def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_de
     ]
     tiles_arr = jnp.asarray(tiles, jnp.int32)
 
-    def tile_fn(window, crop_y, crop_x):
+    def tile_fn(window, crop_y, crop_x, idx):
         with _use_hook(_ReplayHook(stats)):
-            o = net(params, cfg, window)
+            o = net(params, cfg, window, idx=idx)
         return jax.lax.dynamic_slice(
             o,
             (0, crop_y * scale_num // scale_den, crop_x * scale_num // scale_den, 0),
-            (1, tile * scale_num // scale_den, tile * scale_num // scale_den, o.shape[-1]),
+            (1, tile_h * scale_num // scale_den, tile_w * scale_num // scale_den,
+             o.shape[-1]),
         )
 
     probe = jax.eval_shape(
-        lambda win_: tile_fn(win_, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-        jax.ShapeDtypeStruct((1, win, win, c), x.dtype),
+        lambda win_: tile_fn(
+            win_, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+        ),
+        jax.ShapeDtypeStruct((1, win_h, win_w, c), x.dtype),
     )
     out = jnp.zeros(
         (1, h * scale_num // scale_den, w * scale_num // scale_den, probe.shape[-1]),
         probe.dtype,
     )
 
-    def body(out, t):
+    def body(out, t_idx):
+        t, idx = t_idx
         wy, wx, oy, ox, cy, cx = t[0], t[1], t[2], t[3], t[4], t[5]
-        window = jax.lax.dynamic_slice(x, (0, wy, wx, 0), (1, win, win, c))
-        o = tile_fn(window, cy, cx)
+        window = jax.lax.dynamic_slice(x, (0, wy, wx, 0), (1, win_h, win_w, c))
+        o = tile_fn(window, cy, cx, idx)
         out = jax.lax.dynamic_update_slice(
             out, o, (0, oy * scale_num // scale_den, ox * scale_num // scale_den, 0)
         )
         return out, None
 
-    out, _ = jax.lax.scan(body, out, tiles_arr)
+    out, _ = jax.lax.scan(body, out, (tiles_arr, jnp.arange(len(tiles), dtype=jnp.int32)))
     return out
 
 
@@ -245,9 +258,10 @@ def streaming_vae_encode(
     stats="auto": fast while the stat downsample ratio stays within the
     measured-accurate regime (AUTO_EXACT_RATIO), exact beyond it.
 
-    Sampling uses the mean if rng is None. NOTE the latent noise is drawn
-    per-tile deterministically from tile content when sampling — pass
-    rng=None (mean) for strict tile-order invariance.
+    Sampling uses the mean if rng is None. NOTE when sampling, each tile
+    draws its noise from rng folded with the tile index (NOT the full-image
+    draw, and NOT one repeated patch) — pass rng=None (mean) for strict
+    equality with untiled mean-encoding.
     """
     if stats == "auto":
         ratio = max(x.shape[1], x.shape[2]) / est_size
@@ -258,8 +272,8 @@ def streaming_vae_encode(
         raise ValueError(f"stats must be 'fast', 'exact' or 'auto', got {stats!r}")
     ds = cfg.downscale
 
-    def net(p, c, xx):
-        return _net_encode(p, c, xx, rng, sample)
+    def net(p, c, xx, idx=None):
+        return _net_encode(p, c, xx, rng, sample, idx)
 
     return _streamed(params, cfg, x, net, tile, pad, 1, ds, est_size)
 
@@ -279,7 +293,7 @@ def streaming_vae_decode(
         raise ValueError(f"stats must be 'fast', 'exact' or 'auto', got {stats!r}")
     ds = cfg.downscale
 
-    def net(p, c, zz):
+    def net(p, c, zz, idx=None):
         return vae_mod.vae_decode(p, c, zz)
 
     return _streamed(params, cfg, z, net, tile, pad, ds, 1, est_size)

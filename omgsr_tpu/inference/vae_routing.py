@@ -51,9 +51,11 @@ def _per_image(fn, x, rng):
 
 def routed_vae_encode(params, cfg, x, vae_tile, rng, sample: bool, stats: str = "fast"):
     """Full-image or streaming-tiled encode; forwards sampling semantics to
-    the streaming path too (note streaming draws the latent noise per tile —
-    documented in streaming_vae_encode)."""
-    if vae_tile and min(x.shape[1], x.shape[2]) > vae_tile:
+    the streaming path too (note streaming draws per-tile noise from rng
+    folded with the tile index — documented in streaming_vae_encode)."""
+    # gate on the LARGEST dim like the reference (vaehook.py:554): a
+    # 1024x8192 image must tile even though its short side fits
+    if vae_tile and max(x.shape[1], x.shape[2]) > vae_tile:
         from omgsr_tpu.inference.tiled_vae import streaming_vae_encode
 
         return _per_image(
@@ -69,7 +71,7 @@ def routed_vae_encode(params, cfg, x, vae_tile, rng, sample: bool, stats: str = 
 
 def routed_vae_decode(params, cfg, z, vae_tile, stats: str = "fast"):
     lat_tile = vae_tile // cfg.downscale if vae_tile else 0
-    if vae_tile and min(z.shape[1], z.shape[2]) > lat_tile:
+    if vae_tile and max(z.shape[1], z.shape[2]) > lat_tile:
         from omgsr_tpu.inference.tiled_vae import streaming_vae_decode
 
         # "exact" at this level routes through exact_one_step in the
@@ -91,7 +93,7 @@ def wants_exact_path(vae_stats: str, vae_tile, lq_img) -> bool:
     ratio (tiled_vae.AUTO_EXACT_RATIO). Decided here — on static shapes,
     outside jit — because the exact op-streamed plan cannot live inside
     the one-graph fast path."""
-    if not (vae_tile and min(lq_img.shape[1], lq_img.shape[2]) > vae_tile):
+    if not (vae_tile and max(lq_img.shape[1], lq_img.shape[2]) > vae_tile):
         return False
     if vae_stats == "exact":
         return True

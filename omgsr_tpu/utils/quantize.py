@@ -97,6 +97,18 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False)
                     (k.shape[0],) if k.ndim == 3 else (), jnp.int8
                 )
             return out
+        kq = node.get("kernel_q")
+        if kq is not None and act_quant and not excluded and "act_quant" not in node:
+            # already weight-only quantized (e.g. a checkpoint quantized
+            # earlier): upgrading to w8a8 must still add the marker, not
+            # silently serve at weight-only speed
+            out = {
+                kk: rec(vv, excluded or kk in W8A8_EXCLUDE) for kk, vv in node.items()
+            }
+            out["act_quant"] = jnp.zeros(
+                (kq.shape[0],) if kq.ndim == 3 else (), jnp.int8
+            )
+            return out
         return {
             kk: rec(vv, excluded or kk in W8A8_EXCLUDE) for kk, vv in node.items()
         }

@@ -310,3 +310,40 @@ class TestPipelineVAETile:
         a = np.asarray(full(lq, ctx, pooled, tile_size=16, tile_overlap=8))
         b = np.asarray(exact(lq, ctx, pooled, tile_size=16, tile_overlap=8))
         np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-3)
+
+
+class TestReviewRegressions:
+    def test_tile_grid_rejects_overlap_ge_tile(self):
+        import pytest
+
+        from omgsr_tpu.diffusion.tiling import tile_grid_1d
+
+        with pytest.raises(ValueError):
+            tile_grid_1d(300, 64, 64)  # stride 0 used to loop forever
+
+    def test_tiled_denoise_clamps_overlap_with_tile(self):
+        """Wide-aspect latent where the tile clamps to the short dim: the
+        overlap must clamp too (64-overlap at 16-px tiles = stride 0 hang)."""
+        x = jax.random.normal(jax.random.key(7), (1, 16, 72, 4))
+        out = tiled_denoise(x, lambda t: jnp.tanh(t), 32, 16)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_run_batch_skips_unreadable_image(self, tmp_path):
+        from PIL import Image
+
+        from omgsr_tpu.inference.batch_runner import run_batch
+
+        good = tmp_path / "good.png"
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(good)
+        bad = tmp_path / "bad.png"
+        bad.write_bytes(b"not a png at all")
+        out_dir = tmp_path / "out"
+        run_batch(
+            [str(bad), str(good)],
+            lambda lq, i: jnp.asarray(lq),
+            str(out_dir), process_size=64, upscale=4,
+            align_method="nofix", dtype=jnp.float32,
+        )
+        assert (out_dir / "good.png").exists()  # pipeline completed
+        assert not (out_dir / "bad.png").exists()  # corrupt input skipped

@@ -294,3 +294,25 @@ class TestTreeQuant:
         )
         assert np.isfinite(np.asarray(out_q)).all()
         assert _rel(out_q, out_full) < 0.1
+
+
+class TestW8A8Upgrade:
+    def test_act_quant_marker_added_to_prequantized_tree(self):
+        """Upgrading an already weight-only-quantized tree to w8a8 must add
+        the act_quant markers (it used to be a silent no-op: the kernel is
+        gone, only kernel_q remains)."""
+        cfg = TINY_FLUX
+        params = F.stack_block_params(F.init_flux(jax.random.key(0), cfg))
+        w_only = quantize_tree_int8(params, min_params=1 << 6)
+        q = quantize_tree_int8(w_only, min_params=1 << 6, act_quant=True)
+        dual = q["transformer_blocks"]["stacked"]
+        assert "act_quant" in dual["attn"]["to_q"]
+        assert dual["attn"]["to_q"]["act_quant"].shape == (cfg.num_layers,)
+        # exclusions still honored on the upgrade path
+        assert "act_quant" not in dual["norm1"]["linear"]
+        assert "act_quant" not in q["norm_out"]["linear"]
+        # kernels stay quantized once (no double work, same buffers)
+        np.testing.assert_array_equal(
+            np.asarray(dual["attn"]["to_q"]["kernel_q"]),
+            np.asarray(w_only["transformer_blocks"]["stacked"]["attn"]["to_q"]["kernel_q"]),
+        )

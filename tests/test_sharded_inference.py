@@ -267,3 +267,30 @@ def test_shard_for_mesh_after_first_call_invalidates_trace():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
     # the sharded trace actually carries the constraint
     assert pipe._tile_sharding is not None
+
+
+def test_reshard_tiles_then_fsdp_clears_tile_sharding():
+    """shard_for_mesh(strategy='fsdp') after 'tiles' must drop the stale
+    tile sharding (possibly on another mesh) and retrace — previously the
+    fsdp branch kept the old P('data') constraint."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from omgsr_tpu.parallel import create_mesh
+
+    vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+    fp = F.init_flux(jax.random.key(1), TINY_FLUX)
+    lq = jnp.tanh(jax.random.normal(jax.random.key(2), (1, 32, 32, 3)))
+    ctx = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    pooled = jax.random.normal(jax.random.key(4), (1, 8))
+
+    pipe_ref = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    ref = np.asarray(pipe_ref(lq, ctx, pooled, tile_size=8, tile_overlap=4))
+
+    pipe = OMGSRFPipeline(vp, fp, TINY_FLUX_VAE, TINY_FLUX)
+    pipe.shard_for_mesh(create_mesh({"data": 8}), strategy="tiles")
+    mid = np.asarray(pipe(lq, ctx, pooled, tile_size=8, tile_overlap=4))
+    pipe.shard_for_mesh(create_mesh({"data": 2, "fsdp": 4}), min_size=64, strategy="fsdp")
+    assert pipe._tile_sharding is None
+    out = np.asarray(pipe(lq, ctx, pooled, tile_size=8, tile_overlap=4))
+    np.testing.assert_allclose(mid, ref, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)

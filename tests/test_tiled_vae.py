@@ -280,3 +280,42 @@ class TestAutoRouting:
         fast = np.asarray(mk("fast")(lq, jnp.zeros((1, 7, 16)), tile_size=8, tile_overlap=4))
         auto = np.asarray(mk("auto")(lq, jnp.zeros((1, 7, 16)), tile_size=8, tile_overlap=4))
         np.testing.assert_allclose(auto, fast, atol=1e-5, rtol=1e-5)
+
+
+class TestReviewRegressions:
+    def test_streaming_tiles_wide_aspect_one_axis(self, vae_params):
+        """max()-gated routing sends 1-axis-large inputs here: a dim that
+        fits one window spans whole, the long dim tiles (bounded memory)."""
+        z = jax.random.normal(jax.random.key(5), (1, 16, 96, 4))
+        ref = np.asarray(V.vae_decode(vae_params, TINY_VAE, z))
+        out = np.asarray(
+            streaming_vae_decode(vae_params, TINY_VAE, z, tile=16, pad=8, est_size=24)
+        )
+        assert out.shape == ref.shape
+        assert np.isfinite(out).all()
+        assert np.abs(out - ref).mean() < 0.1  # fast-stats tolerance
+
+    def test_streaming_encode_sampling_not_periodic(self, vae_params):
+        """Per-tile rng fold: a CONSTANT input must not produce bit-identical
+        noise patches tile-to-tile (the pre-fix behavior: same key + same
+        window shape -> one repeated noise patch across the latent)."""
+        x = jnp.ones((1, 32, 96, 3))
+        z = np.asarray(
+            streaming_vae_encode(
+                vae_params, TINY_VAE, x, rng=jax.random.key(3), sample=True,
+                tile=16, pad=8, est_size=24,
+            )
+        )
+        lt = 16 // TINY_VAE.downscale  # latent tile extent
+        patches = [z[0, :, i * lt : (i + 1) * lt, :] for i in range(z.shape[2] // lt)]
+        diffs = [np.abs(patches[i] - patches[i + 1]).max() for i in range(len(patches) - 1)]
+        assert min(diffs) > 0.0
+
+    def test_routing_gates_on_max_dim(self):
+        from omgsr_tpu.inference.vae_routing import wants_exact_path
+
+        wide = np.zeros((1, 256, 2048, 3))
+        # min() gating would skip tiling entirely (256 is not > 256)
+        assert wants_exact_path("exact", 256, wide)
+        small = np.zeros((1, 256, 256, 3))
+        assert not wants_exact_path("exact", 256, small)
