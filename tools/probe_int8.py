@@ -42,21 +42,20 @@ def probe(name, m, k, n, depth, iters, lhs_dtype, rhs_dtype, acc_dtype):
 
     @jax.jit
     def chain(x, w):
-        def body(h, wi):
+        # keep the lhs FIXED and accumulate a full reduction of each product:
+        # feeding outputs forward needs a per-step renorm whose elementwise
+        # int32 passes cost as much as the dot itself (measured: it halves
+        # the apparent rate) — the reduction forces every dot to execute
+        # (y.sum() cannot be narrowed to fewer lhs rows) at ~1 cheap pass
+        def body(acc, wi):
             y = jax.lax.dot_general(
-                h, wi, (((1,), (0,)), ((), ())),
+                x, wi, (((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype,
             )
-            if lhs_dtype == "int8":
-                # renormalize to int8 range so the chain stays representable
-                h = jnp.clip(y >> 12, -127, 127).astype(jnp.int8) if acc_dtype == jnp.int32 \
-                    else jnp.clip(y * 1e-3, -127, 127).astype(jnp.int8)
-            else:
-                h = (y * (1.0 / np.sqrt(k))).astype(lhs_dtype)
-            return h, None
+            return acc + y.astype(jnp.float32).sum(), None
 
-        h, _ = jax.lax.scan(body, x, w)
-        return h
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), w)
+        return acc
 
     def fresh_input():
         return jnp.asarray(_fresh(rng, (m, k), lhs_dtype)).astype(lhs_dtype)
