@@ -46,6 +46,9 @@ def test_launcher_matches_cli(name, module):
         assert args.mid_timestep in (273, 244)
     else:
         cfg = re.search(r"--config (\S+)", text).group(1)
-        assert (ROOT / cfg.lstrip("./")).is_file(), f"{cfg} missing"
+        # defaults are pinned to the repo via $REPO_DIR (user relative
+        # overrides resolve against the invocation cwd, like the reference)
+        cfg = cfg.strip('"').replace("$REPO_DIR/", "").lstrip("./")
+        assert (ROOT / cfg).is_file(), f"{cfg} missing"
         # the train CLIs build their parser inside main (--config + overrides)
         assert hasattr(cli, "main")
