@@ -44,7 +44,17 @@ import time
 import numpy as np
 
 NORTH_STAR_S = 1.0  # s/image, BASELINE.json
-SECTION_DEADLINE_S = float(os.environ.get("OMGSR_BENCH_DEADLINE_S", "2400"))
+# Whole-run budget: bench must finish (rc=0) inside the driver's window, so
+# lowest-priority remaining sections are DROPPED up front when the estimated
+# cost of what's left exceeds the remaining budget (r3 lesson: rc=124 lost
+# half the extras from the durable record). OMGSR_BENCH_DEADLINE_S is the
+# legacy name for the same knob.
+RUN_BUDGET_S = float(
+    os.environ.get(
+        "OMGSR_BENCH_BUDGET_S", os.environ.get("OMGSR_BENCH_DEADLINE_S", "2400")
+    )
+)
+SECTION_DEADLINE_S = RUN_BUDGET_S
 
 _t_start = time.time()
 
@@ -75,10 +85,54 @@ def _timed(fn, fresh_input, fence, iters=5):
     return float(np.median(times))
 
 
+# Execution plan for everything after the primary: [name, priority, est_s]
+# in execution order. Priorities (lower = kept longer): 0 = never dropped
+# (the fallback primary), 1 = the -S protocol extra, 2 = the extras the
+# round record must carry (SSL, -F train, int8 ratio, serving), 3-4 =
+# nice-to-have defaults, 5 = opt-ins. Estimates are conservative COLD
+# -cache tunnel costs; with the persistent compilation cache warm the real
+# costs are far lower, so dropping only kicks in when the run is genuinely
+# at risk of blowing the driver window.
+_PLAN = []
+
+
+def _plan_add(name, priority, est_s, enabled=True):
+    if enabled:
+        _PLAN.append([name, priority, est_s])
+
+
+def _plan_done(name):
+    _PLAN[:] = [e for e in _PLAN if e[0] != name]
+
+
+def _budget_gate(name):
+    """Called at section start: while the summed cost estimate of every
+    remaining section exceeds the remaining run budget, drop the lowest
+    -priority remaining section (rather than dying mid-section at the
+    driver's timeout, which erases the tail of the durable record —
+    r3's rc=124). Returns False if `name` itself was dropped."""
+    entry = next((e for e in _PLAN if e[0] == name), None)
+    if entry is None:
+        return False  # not planned (disabled) or already dropped
+    remaining = RUN_BUDGET_S - (time.time() - _t_start)
+    while sum(e[2] for e in _PLAN) > remaining:
+        droppable = [e for e in _PLAN if e[1] > 0]
+        if not droppable:
+            break  # only never-drop sections left: run them, accept the risk
+        # drop the worst priority; on ties the latest-scheduled one
+        worst = max(reversed(droppable), key=lambda e: e[1])
+        _PLAN.remove(worst)
+        sys.stderr.write(
+            f"bench: dropping section {worst[0]} (priority {worst[1]}, "
+            f"est {worst[2]:.0f}s) — {remaining:.0f}s of budget left\n"
+        )
+    return any(e[0] == name for e in _PLAN)
+
+
 def _section(name, extras, primary, thunk):
     """Run one secondary measurement; a failure (e.g. transient remote
     -compile transport error) must not erase earlier sections' results."""
-    if time.time() - _t_start >= SECTION_DEADLINE_S:
+    if not _budget_gate(name):
         return
     try:
         extras[name] = round(thunk(), 5)
@@ -89,13 +143,22 @@ def _section(name, extras, primary, thunk):
         import gc
 
         gc.collect()
+        _plan_done(name)
         return
+    _plan_done(name)
     _emit(primary, extras)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent XLA compilation cache (same wiring as every CLI): on the
+    # remote-compile tunnel the 12B section alone costs ~11 min mostly in
+    # compiles — the warm cache is the difference between rc=0 and rc=124
+    from omgsr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     fence = lambda out: float(jnp.mean(out))  # noqa: E731
     rng = np.random.default_rng(int.from_bytes(os.urandom(4), "little"))
@@ -176,6 +239,42 @@ def main():
 
     gc.collect()
 
+    # ---- execution plan for everything below (see _budget_gate) -------------
+    train_f_scale = os.environ.get("OMGSR_BENCH_TRAIN_F", "3b")
+    bs_env = int(os.environ.get("OMGSR_BENCH_TRAIN_BS", "0"))
+    _plan_add(
+        "ssl_pretrain_vitb16_bs16_s_per_step", 2, 300,
+        os.environ.get("OMGSR_BENCH_SSL", "1") == "1",
+    )
+    _plan_add(primary_s, 0 if primary == primary_s else 1, 300)
+    _plan_add("omgsr_s_512_one_step_s_per_image", 3, 150)
+    _plan_add("omgsr_f_1024_proxy3b_s_per_image", 4, 360)
+    _plan_add(
+        "train_s_512_s_per_step", 3, 330,
+        os.environ.get("OMGSR_BENCH_TRAIN", "1") == "1",
+    )
+    _plan_add(
+        f"train_f_1024_{train_f_scale}_int8base_s_per_step", 2, 700,
+        train_f_scale in ("3b", "12b"),
+    )
+    _plan_add(
+        "omgsr_s_512to2048_x4_s_per_image", 5, 420,
+        os.environ.get("OMGSR_BENCH_2048", "0") == "1",
+    )
+    _plan_add(
+        "loader_degrade_512_imgs_per_s", 5, 300,
+        os.environ.get("OMGSR_BENCH_LOADER", "0") == "1",
+    )
+    _plan_add(f"train_s_512_bs{bs_env}_s_per_step", 5, 420, bs_env >= 1)
+    _plan_add(
+        "serving_device_512_imgs_per_s", 2, 240,
+        os.environ.get("OMGSR_BENCH_SERVING", "1") == "1",
+    )
+    _plan_add(
+        "int8_bf16_matmul_ratio", 2, 200,
+        os.environ.get("OMGSR_BENCH_INT8_PROBE", "1") == "1",
+    )
+
     # ---- section 1b: DINOv3 SSL pretraining step ------------------------------
     # Full DINOv3 SSL pretraining step on one chip: 2x224 global + 8x96
     # local crops, 65536-d DINO/iBOT heads, masked sinkhorn, KoLeo,
@@ -235,14 +334,17 @@ def main():
 
         return _timed(ssl_step, fresh_ssl, lambda loss: float(loss), iters=3)
 
-    if os.environ.get("OMGSR_BENCH_SSL", "1") == "1":
+    def run_ssl_retry():
         # the tunnel throws transient ResourceExhausted under sustained load
         # (CLAUDE.md) — retry once like the primary section
-        for _ssl_attempt in (0, 1):
-            _section("ssl_pretrain_vitb16_bs16_s_per_step", extras, primary, run_ssl)
-            if "ssl_pretrain_vitb16_bs16_s_per_step" in extras:
-                break
+        try:
+            return run_ssl()
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"ssl attempt 0 failed: {type(e).__name__}: {e}\n")
             time.sleep(20)
+            return run_ssl()
+
+    _section("ssl_pretrain_vitb16_bs16_s_per_step", extras, primary, run_ssl_retry)
 
 
     # ---- section 2: -S 256->1024 x4 tiled protocol --------------------------
@@ -261,20 +363,24 @@ def main():
         return pipe(upscale(lq256), prompt_sd, tile_size=64, tile_overlap=32)
 
     # must survive one transient transport failure (the remote-compile tunnel
-    # drops connections occasionally): retry once
-    for attempt in (0, 1):
-        try:
-            extras[primary_s] = round(
-                _timed(sr_256_to_1024, lambda: fresh((1, 256, 256, 3)), fence), 5
-            )
-            break
-        except Exception as e:  # noqa: BLE001
-            sys.stderr.write(f"-S attempt {attempt} failed: {e}\n")
-            if attempt == 1 and primary == primary_s:
-                raise  # neither protocol measured: nothing to report
-            time.sleep(20)
-    if primary_s in extras:
-        _emit(primary, extras)
+    # drops connections occasionally): retry once. As the fallback primary
+    # this section is priority 0 (never dropped); when the -F primary landed
+    # it is a priority-1 extra the gate may drop under budget pressure.
+    if _budget_gate(primary_s) or primary == primary_s:
+        for attempt in (0, 1):
+            try:
+                extras[primary_s] = round(
+                    _timed(sr_256_to_1024, lambda: fresh((1, 256, 256, 3)), fence), 5
+                )
+                break
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(f"-S attempt {attempt} failed: {e}\n")
+                if attempt == 1 and primary == primary_s:
+                    raise  # neither protocol measured: nothing to report
+                time.sleep(20)
+        _plan_done(primary_s)
+        if primary_s in extras:
+            _emit(primary, extras)
 
     # ---- section 3: -S 512 one-step (previous round's metric) --------------
     def run_512_one_step():
@@ -298,6 +404,32 @@ def main():
         )
 
     _section("omgsr_s_512_one_step_s_per_image", extras, primary, run_512_one_step)
+
+    # ---- section 3b: serving device-side loopback ----------------------------
+    # The serving daemon's FUSED SR+color-fix graph (one device dispatch per
+    # request, serving/server.py make_fused_infer) at the 512 one-step
+    # geometry, measured loopback — no HTTP, PNG codec, or host PIL. This
+    # bounds what a co-located TPU host serves per second; the tunnel's HTTP
+    # p50 (~363 ms) is dominated by per-request transfers that co-location
+    # removes. Reports images/second.
+    def run_serving():
+        from omgsr_tpu.serving.server import make_fused_infer
+
+        def pipe_call(lq, i):
+            return pipe(lq, prompt_sd, 64, 32, rng=jax.random.key(i))
+
+        fused = make_fused_infer(pipe_call, dtype)
+        hw = np.asarray([[512, 512]], np.int32)
+        align = np.asarray([1], np.int32)  # adain, the CLI default
+
+        t = _timed(
+            lambda lq: fused(lq, 0, hw, align),
+            lambda: fresh((1, 512, 512, 3)),
+            fence,
+        )
+        return 1.0 / t
+
+    _section("serving_device_512_imgs_per_s", extras, primary, run_serving)
 
     # ---- section 4: -F 1024 protocol at 3B proxy scale ----------------------
     def run_f_1024_proxy():
@@ -435,7 +567,6 @@ def main():
             iters=3,
         )
 
-    train_f_scale = os.environ.get("OMGSR_BENCH_TRAIN_F", "3b")
     if train_f_scale in ("3b", "12b"):
         _section(
             f"train_f_1024_{train_f_scale}_int8base_s_per_step", extras, primary,
@@ -530,10 +661,36 @@ def main():
     # OMGSR_BENCH_TRAIN_BS=<N> measures the full-scale -S train micro-step at
     # batch N (same setup/seeds as section 4, so the numbers A/B cleanly) and
     # reports seconds per step (imgs/s = N / value).
-    bs_env = int(os.environ.get("OMGSR_BENCH_TRAIN_BS", "0"))
     if bs_env >= 1:
         _section(f"train_s_512_bs{bs_env}_s_per_step", extras, primary,
                  lambda: run_train(bs_env))
+
+    # ---- section 9: int8-vs-bf16 matmul ceiling probe -------------------------
+    # tools/probe_int8.py wired into the durable record: the measured v5e
+    # int8 dot ceiling is ~140-160 TOPS (ratio ~0.7-0.85 vs bf16), far from
+    # the datasheet 2.0 — if a libtpu/XLA update opens the real int8 MXU
+    # rate, this ratio jumps toward 2 in BENCH_r*.json and w8a8 should be
+    # re-tuned (CLAUDE.md roadmap 3).
+    def run_int8_probe():
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "probe_int8",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools", "probe_int8.py"
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        bf16 = mod.probe(
+            "bf16xbf16->f32", 4608, 3072, 3072, 32, 3,
+            jnp.bfloat16, jnp.bfloat16, jnp.float32,
+        )
+        s8 = mod.probe("s8xs8->s32", 4608, 3072, 3072, 32, 3, "int8", "int8", jnp.int32)
+        extras["int8_matmul_top_per_s"] = round(s8, 1)
+        return s8 / bf16
+
+    _section("int8_bf16_matmul_ratio", extras, primary, run_int8_probe)
 
 
 

@@ -31,9 +31,16 @@ from omgsr_tpu.utils.dtypes import resolve_dtype
 
 
 def _make_infer_fn(args, dtype):
-    """Build a pipeline + prompt embeddings from the CLI args and return the
-    batch_runner-contract infer_fn. Called again on /v1/reload hot-swaps."""
+    """Build a pipeline + prompt embeddings from the CLI args and return
+    (infer_fn, fused_infer_fn | None). Called again on /v1/reload hot-swaps.
+
+    fused_infer_fn folds the per-request color fix into the SR graph (one
+    device dispatch per request instead of two — see
+    serving.server.make_fused_infer); it exists whenever the pipeline's
+    one-graph path applies, i.e. unless --vae_tile may route through the
+    host-orchestrated exact tiled-VAE mode."""
     from omgsr_tpu.cli.prompts import load_prompt_npz
+    from omgsr_tpu.serving.server import make_fused_infer
 
     tile_size = args.process_size // 8
     tile_overlap = tile_size // 2
@@ -50,9 +57,9 @@ def _make_infer_fn(args, dtype):
             prompt_embeds = encode_prompt_sd(args.sd_path, prompt, dtype)
         pipe = build_pipeline(args, dtype)
 
-        def infer_fn(lq, i):
+        def pipe_call(lq, i):
             return pipe(
-                jnp.asarray(lq, dtype), prompt_embeds, tile_size, tile_overlap,
+                lq, prompt_embeds, tile_size, tile_overlap,
                 rng=jax.random.key(i), sample_latent=args.latent == "sample",
             )
 
@@ -70,13 +77,17 @@ def _make_infer_fn(args, dtype):
             prompt_embeds, pooled, _ = encode_prompt_flux(args.flux_path, prompt, dtype=dtype)
         pipe = build_pipeline(args, dtype)
 
-        def infer_fn(lq, i):
+        def pipe_call(lq, i):
             return pipe(
-                jnp.asarray(lq, dtype), prompt_embeds, pooled, tile_size, tile_overlap,
+                lq, prompt_embeds, pooled, tile_size, tile_overlap,
                 rng=jax.random.key(i), sample_latent=args.latent == "sample",
             )
 
-    return infer_fn
+    def infer_fn(lq, i):
+        return pipe_call(jnp.asarray(lq, dtype), i)
+
+    fused_fn = None if args.vae_tile else make_fused_infer(pipe_call, dtype)
+    return infer_fn, fused_fn
 
 
 def build_server(args) -> SRServer:
@@ -98,7 +109,10 @@ def build_server(args) -> SRServer:
         queue_depth=args.queue_depth,
         warmup_sizes=warmup,
     )
-    server = SRServer(_make_infer_fn(args, dtype), opts, np_dtype=dtype_np(dtype))
+    infer_fn, fused_fn = _make_infer_fn(args, dtype)
+    server = SRServer(
+        infer_fn, opts, np_dtype=dtype_np(dtype), fused_infer_fn=fused_fn
+    )
 
     def reload_route(body: bytes) -> dict:
         """POST /v1/reload {"lora_path": "...", "mid_timestep": n?} — rebuild
@@ -125,7 +139,7 @@ def build_server(args) -> SRServer:
         for k, v in req.items():
             setattr(new_args, k, v)
         with server._reload_lock:
-            old_fn = server.infer_fn
+            old_fns = (server.infer_fn, server.fused_infer_fn)
 
             def rebuilding(lq, i):
                 raise RuntimeError("model reloading, retry shortly")
@@ -133,15 +147,15 @@ def build_server(args) -> SRServer:
             server.swap_infer_fn(rebuilding)
             with server._dispatch_busy:  # wait out any in-flight dispatch
                 pass
-            del old_fn  # the only live reference to the old pipeline
+            del old_fns  # the only live references to the old pipeline
             gc.collect()
             try:
-                server.swap_infer_fn(_make_infer_fn(new_args, dtype))
+                server.swap_infer_fn(*_make_infer_fn(new_args, dtype))
             except Exception:
                 # device memory was freed; restore a working model from the
                 # still-committed args rather than serving the raising stub
                 gc.collect()  # drop any partially-built device buffers first
-                server.swap_infer_fn(_make_infer_fn(args, dtype))
+                server.swap_infer_fn(*_make_infer_fn(args, dtype))
                 raise
             args.__dict__.update(new_args.__dict__)  # commit on success only
         return {"status": "reloaded", **{k: req[k] for k in req}}

@@ -75,3 +75,99 @@ def wavelet_color_fix(target, source):
     t_high, _ = wavelet_decomposition(target)
     _, s_low = wavelet_decomposition(source)
     return t_high + s_low
+
+
+# ---- masked variants for bucket-padded canvases ---------------------------
+#
+# The serving daemon compiles one SR graph per size BUCKET and reflect-pads
+# each request up to the bucket shape; the color fix must behave as if it ran
+# on the cropped (h, w) image (that is what the CLI path computes). These
+# variants take the true extent as traced scalars so ONE compiled graph
+# serves every request in the bucket, fix included — no separate fix
+# dispatch, no per-request recompile. Both are EXACT (to float tolerance)
+# equivalents of crop -> fix: adain via masked statistics, wavelet via
+# re-replicating the valid region's edge into the pad before every blur
+# level (an edge-padded conv on that canvas sees exactly the replicate
+# continuation crop-then-fix would).
+
+
+def _valid_mask(shape, h, w, dtype):
+    H, W = shape[1], shape[2]
+    rows = (jnp.arange(H) < h)[:, None]
+    cols = (jnp.arange(W) < w)[None, :]
+    return (rows & cols)[None, :, :, None].astype(dtype)
+
+
+def _replicate_into_pad(x, h, w):
+    """Overwrite everything beyond (h, w) with replicate padding of the
+    valid region (clamped gathers), per canvas."""
+    H, W = x.shape[1], x.shape[2]
+    x = jnp.take(x, jnp.minimum(jnp.arange(H), h - 1), axis=1)
+    return jnp.take(x, jnp.minimum(jnp.arange(W), w - 1), axis=2)
+
+
+def _masked_mean_std(x, mask, n, eps=1e-5):
+    # matches _mean_std on the cropped image: population var * n/(n-1) + eps
+    n = n.astype(x.dtype)
+    xm = x * mask
+    mean = xm.sum(axis=(1, 2), keepdims=True) / n
+    sq = ((x - mean) ** 2) * mask
+    var = sq.sum(axis=(1, 2), keepdims=True) / jnp.maximum(n - 1.0, 1.0) + eps
+    return mean, jnp.sqrt(var)
+
+
+def masked_adain_color_fix(target, source, h, w):
+    """adain_color_fix restricted to the valid (h, w) region of padded
+    canvases; the pad region of the output is unspecified (cropped by the
+    caller)."""
+    mask = _valid_mask(target.shape, h, w, target.dtype)
+    n = h * w
+    s_mean, s_std = _masked_mean_std(source, mask, n)
+    t_mean, t_std = _masked_mean_std(target, mask, n)
+    return (target - t_mean) / t_std * s_std + s_mean
+
+
+def masked_wavelet_color_fix(target, source, h, w):
+    """wavelet_color_fix equivalent on padded canvases: each blur level
+    re-replicates the valid region's edges into the pad first, so valid
+    pixels see the same taps as crop -> wavelet_color_fix."""
+
+    def decomposition(x, levels=5):
+        high = jnp.zeros_like(x)
+        for i in range(levels):
+            x = _replicate_into_pad(x, h, w)
+            low = wavelet_blur(x, 2**i)
+            high = high + (x - low)
+            x = low
+        return high, x
+
+    t_high, _ = decomposition(target)
+    _, s_low = decomposition(source)
+    return t_high + s_low
+
+
+# per-request align selector (serving): indices into the switched batch fix
+ALIGN_IDX = {"nofix": 0, "adain": 1, "wavelet": 2}
+
+
+def switched_color_fix_batch(target01, source01, hw, align_idx):
+    """Per-image color fix on a bucket-padded batch with traced parameters:
+    hw (B, 2) int32 true extents, align_idx (B,) int32 per ALIGN_IDX. One
+    compiled graph covers every (method, true-size) combination in the
+    bucket — the serving daemon fuses this onto the tail of the SR graph."""
+
+    def per_image(t, s, hw1, idx):
+        t, s = t[None], s[None]
+        out = jax.lax.switch(
+            idx,
+            [
+                lambda t, s: t,
+                lambda t, s: masked_adain_color_fix(t, s, hw1[0], hw1[1]),
+                lambda t, s: masked_wavelet_color_fix(t, s, hw1[0], hw1[1]),
+            ],
+            t,
+            s,
+        )
+        return out[0]
+
+    return jax.vmap(per_image)(target01, source01, hw, align_idx)

@@ -58,6 +58,8 @@ class ServeOptions:
 class _Request:
     lq: np.ndarray  # (1, H, W, 3) in [-1, 1], bucket-padded
     index: int
+    true_hw: tuple = (0, 0)  # valid extent before bucket padding
+    align: str = "nofix"  # resolved per-request method (fused dispatch)
     done: threading.Event = field(default_factory=threading.Event)
     result: object = None  # device array slice (1, H, W, 3) when done
     error: Exception | None = None
@@ -71,12 +73,27 @@ class SRServer:
     `inference.batch_runner.run_batch`.
     """
 
-    def __init__(self, infer_fn, opts: ServeOptions | None = None, np_dtype=np.float32):
+    def __init__(
+        self,
+        infer_fn,
+        opts: ServeOptions | None = None,
+        np_dtype=np.float32,
+        fused_infer_fn=None,
+    ):
+        """fused_infer_fn (optional): `(lq (B,H,W,3) [-1,1], index, hw (B,2)
+        int32, align_idx (B,) int32) -> color-fixed batch in [0,1]` — the SR
+        step AND the per-request color fix in ONE jitted dispatch (the fix
+        runs masked on the bucket-padded canvas, exactly equal to
+        crop-then-fix; see ops/color.py). Removes the separate fix dispatch
+        + src01 upload + extra device roundtrip per request. When absent,
+        the classic two-dispatch path (infer_fn, then jitted fix on the
+        handler thread) is used."""
         import jax
 
         from omgsr_tpu.ops.color import adain_color_fix, wavelet_color_fix
 
         self.infer_fn = infer_fn
+        self.fused_infer_fn = fused_infer_fn
         self.opts = opts or ServeOptions()
         self.np_dtype = np_dtype
         self._fix = {
@@ -152,14 +169,28 @@ class SRServer:
     def _dispatch_group(self, group):
         opts = self.opts
         n = len(group)
-        # pad to the fixed batch so each bucket compiles exactly once
+        # pad to the fixed batch so each bucket compiles exactly once. The
+        # fused graph takes float32 (color-fix statistics at CLI precision)
+        # and downcasts to the model dtype inside the graph.
         b = opts.max_batch if opts.max_batch > 1 else 1
         lq = np.concatenate([r.lq for r in group] + [group[-1].lq] * (b - n)).astype(
-            self.np_dtype
+            np.float32 if self.fused_infer_fn is not None else self.np_dtype
         )
         with self._dispatch_busy:
             try:
-                out = self.infer_fn(lq, group[0].index)  # async device dispatch
+                if self.fused_infer_fn is not None:
+                    from omgsr_tpu.ops.color import ALIGN_IDX
+
+                    pad = [group[-1]] * (b - n)
+                    hw = np.asarray(
+                        [r.true_hw for r in group + pad], np.int32
+                    )
+                    align = np.asarray(
+                        [ALIGN_IDX[r.align] for r in group + pad], np.int32
+                    )
+                    out = self.fused_infer_fn(lq, group[0].index, hw, align)
+                else:
+                    out = self.infer_fn(lq, group[0].index)  # async device dispatch
                 for j, r in enumerate(group):
                     r.result = out[j : j + 1]
             except Exception as e:  # noqa: BLE001 — a device/model fault, not bad input
@@ -185,6 +216,7 @@ class SRServer:
             img, opts.process_size, opts.upscale, opts.size_bucket
         )
 
+        method = align if align is not None else opts.align_method
         with self._lock:
             if self._stop.is_set():
                 raise DispatchError("server shutting down")
@@ -192,8 +224,9 @@ class SRServer:
                 raise OverloadedError(self._in_flight)
             self._in_flight += 1
             self._seq += 1
-            req = _Request(lq=lq, index=self._seq)
+            req = _Request(lq=lq, index=self._seq, true_hw=true_hw, align=method)
         try:
+            fused = self.fused_infer_fn is not None
             self._queue.put(req)
             if not req.done.wait(timeout=opts.request_timeout_s):
                 raise RequestTimeout(
@@ -202,10 +235,10 @@ class SRServer:
                 )
             if req.error is not None:
                 raise req.error
-            method = align if align is not None else opts.align_method
             out_pil = postprocess_sr_output(
-                req.result, src01, true_hw, self._fix.get(method),
-                resize_flag, orig, opts.upscale,
+                req.result, src01, true_hw,
+                None if fused else self._fix.get(method),
+                resize_flag, orig, opts.upscale, already01=fused,
             )
             buf = io.BytesIO()
             out_pil.save(buf, format="PNG")
@@ -239,11 +272,15 @@ class SRServer:
             for _ in range(min(n, len(self._latencies))):
                 self._latencies.pop()
 
-    def swap_infer_fn(self, infer_fn):
+    def swap_infer_fn(self, infer_fn, fused_infer_fn=None):
         """Atomically replace the model behind the dispatcher (adapter
         hot-swap). In-flight groups finish on the old fn; queued requests
         take the new one. The first request after a swap retraces — with the
         persistent compilation cache that's a disk hit, not a fresh compile."""
+        # order matters for lock-free readers: requests dispatched between
+        # these two assignments run the OLD fused graph or the NEW plain fn —
+        # both are complete models, never a mixed half-swap
+        self.fused_infer_fn = fused_infer_fn
         self.infer_fn = infer_fn
 
     # ---- introspection ------------------------------------------------------
@@ -356,6 +393,39 @@ class SRServer:
         if self._httpd is not None:
             self._httpd.shutdown()
         self._dispatcher.join(timeout=5)
+
+
+def make_fused_infer(pipeline_call, model_dtype):
+    """Build the fused serving contract from a TRACEABLE pipeline call
+    (`pipeline_call(lq, index) -> SR batch in [-1,1]` — the pipelines'
+    default one-graph path; NOT the host-orchestrated exact-VAE mode).
+
+    Returns `fused_fn(lq (B,H,W,3) f32 [-1,1], index, hw (B,2), align_idx
+    (B,)) -> color-fixed batch in [0,1]`: SR + per-request masked color fix
+    in ONE jitted dispatch. lq enters as float32 so the fix statistics see
+    the same source precision as the CLI path; the SR step downcasts to
+    `model_dtype` inside the graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from omgsr_tpu.ops.color import switched_color_fix_batch
+
+    @jax.jit
+    def fused(lq32, index, hw, align_idx):
+        out = pipeline_call(lq32.astype(model_dtype), index)
+        out01 = out.astype(jnp.float32) * 0.5 + 0.5
+        src01 = lq32 * 0.5 + 0.5
+        return switched_color_fix_batch(out01, src01, hw, align_idx)
+
+    def fused_fn(lq, index, hw, align_idx):
+        return fused(
+            jnp.asarray(lq, jnp.float32),
+            jnp.int32(index),
+            jnp.asarray(hw, jnp.int32),
+            jnp.asarray(align_idx, jnp.int32),
+        )
+
+    return fused_fn
 
 
 class OverloadedError(RuntimeError):

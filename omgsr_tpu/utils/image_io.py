@@ -76,16 +76,22 @@ def preprocess_sr_input(img: Image.Image, process_size: int, upscale: int, size_
 
 
 def postprocess_sr_output(
-    out_dev, src01, true_hw, fix_jit, resize_flag, orig_size, upscale: int
+    out_dev, src01, true_hw, fix_jit, resize_flag, orig_size, upscale: int,
+    already01: bool = False,
 ) -> Image.Image:
     """Inverse protocol: crop the bucket pad, [-1,1]->[0,1], optional jitted
-    color fix against src01, fetch, and undo the pre-resize."""
+    color fix against src01, fetch, and undo the pre-resize. already01=True
+    means the device batch is already color-fixed [0,1] (the serving
+    daemon's fused graph) — only crop + fetch remain."""
     import jax  # deferred: keep this module importable without a backend
 
     out_dev = out_dev[:, : true_hw[0], : true_hw[1], :]
-    out01 = out_dev.astype(np.float32) * 0.5 + 0.5
-    if fix_jit is not None:
-        out01 = fix_jit(out01, src01)
+    if already01:
+        out01 = out_dev.astype(np.float32)
+    else:
+        out01 = out_dev.astype(np.float32) * 0.5 + 0.5
+        if fix_jit is not None:
+            out01 = fix_jit(out01, src01)
     out01 = np.asarray(jax.block_until_ready(out01))
     out_pil = array01_to_pil(out01)
     return finalize_output(out_pil, resize_flag, orig_size, upscale)

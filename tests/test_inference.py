@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from omgsr_tpu.inference.pipeline_f import OMGSRFPipeline
 from omgsr_tpu.inference.pipeline_s import OMGSRSPipeline
@@ -209,6 +210,42 @@ class TestColorFix:
                 )
         ours = np.asarray(wavelet_blur(jnp.asarray(x), radius))
         np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+class TestMaskedColorFix:
+    """The serving daemon's in-graph color fix on bucket-padded canvases must
+    equal crop -> fix (the CLI path) on the valid region, for both methods
+    and any pad width (including pads below and above the wavelet's largest
+    blur radius)."""
+
+    @pytest.mark.parametrize("hw", [(64, 64), (50, 61), (33, 64)])
+    def test_masked_equals_crop_then_fix(self, hw):
+        from omgsr_tpu.ops.color import (
+            masked_adain_color_fix, masked_wavelet_color_fix,
+        )
+
+        h, w = hw
+        H = W = 64  # bucket canvas
+        rng = np.random.default_rng(5)
+        t_full = rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+        s_full = rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+        # the pad region carries unrelated content (host reflect-pad garbage)
+        t = jnp.asarray(t_full)
+        s = jnp.asarray(s_full)
+        tc = jnp.asarray(t_full[:, :h, :w])
+        sc = jnp.asarray(s_full[:, :h, :w])
+
+        want = np.asarray(adain_color_fix(tc, sc))
+        got = np.asarray(
+            jax.jit(masked_adain_color_fix)(t, s, jnp.int32(h), jnp.int32(w))
+        )[:, :h, :w]
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+        want_w = np.asarray(wavelet_color_fix(tc, sc))
+        got_w = np.asarray(
+            jax.jit(masked_wavelet_color_fix)(t, s, jnp.int32(h), jnp.int32(w))
+        )[:, :h, :w]
+        np.testing.assert_allclose(got_w, want_w, atol=2e-5)
 
 
 class TestPipelineVAETile:

@@ -236,6 +236,43 @@ class TestDispatch:
             srv.shutdown()
 
 
+class TestFusedServing:
+    def test_fused_matches_two_dispatch_path(self):
+        """The fused SR+color-fix graph must reproduce the classic path
+        (separate jitted fix on the cropped image) for every align method,
+        on an input whose bucket pad is real (32x24 padded to 32x32)."""
+        from omgsr_tpu.serving.server import make_fused_infer
+
+        vp = V.init_vae(jax.random.key(0), TINY_VAE)
+        up = U.init_unet(jax.random.key(1), TINY_UNET)
+        pipe = OMGSRSPipeline(vp, up, TINY_VAE, TINY_UNET)
+        prompt = jax.random.normal(jax.random.key(2), (1, 7, 16))
+
+        def pipe_call(lq, i):
+            return pipe(lq, prompt, 16, 8, rng=jax.random.key(i))
+
+        def infer_fn(lq, i):
+            return pipe_call(jnp.asarray(lq, jnp.float32), i)
+
+        opts = ServeOptions(process_size=32, upscale=4, size_bucket=16)
+        srv_a = SRServer(infer_fn, opts, np_dtype=np.float32)
+        srv_b = SRServer(
+            infer_fn, opts, np_dtype=np.float32,
+            fused_infer_fn=make_fused_infer(pipe_call, jnp.float32),
+        )
+        body = _png_bytes(8, 6, seed=3)  # -> 32x24, bucket-padded to 32x32
+        try:
+            for align in ("nofix", "adain", "wavelet"):
+                # same per-server request index -> same latent noise draw
+                a = np.asarray(Image.open(io.BytesIO(srv_a.process_image(body, align=align))))
+                b = np.asarray(Image.open(io.BytesIO(srv_b.process_image(body, align=align))))
+                assert a.shape == b.shape
+                assert np.abs(a.astype(int) - b.astype(int)).max() <= 1, align
+        finally:
+            srv_a.shutdown()
+            srv_b.shutdown()
+
+
 class TestServeCLI:
     def test_build_and_drive(self, tmp_path_factory, tmp_path):
         from omgsr_tpu.cli.serve import main, parse_args
