@@ -149,6 +149,18 @@ class SSLPretrainConfig:
     # dict {start, peak, end, warmup_epochs[, cosine_epochs]} — replaces the
     # static gram_loss_weight with a tabulated schedule (ssl_meta_arch:186-201)
     gram_loss_weight_schedule: Any = None
+    # dict {start, peak, end, warmup_epochs[, cosine_epochs]} — the
+    # reference's dino.reweight_dino_local_loss + local_loss_weight_schedule
+    # (ssl_meta_arch.py builds it when reweighting is on; used by the
+    # vit7b16 gram-anchor / high-res-adapt recipes). Drives the
+    # local_loss_weight step hyperparam (ssl_meta_arch.py:200,274).
+    local_loss_weight_schedule: Any = None
+    # dict {start, peak, end, warmup_epochs[, cosine_epochs]} — the
+    # reference's explicit schedules.lr form (dinov3/configs/train/*.yaml);
+    # when set it replaces the flat lr/min_lr/warmup_epochs cosine and is
+    # taken as ABSOLUTE values (scaling_rule is not applied), matching how
+    # the published recipes pin their peaks
+    lr_schedule: Any = None
     extra: dict = dataclasses.field(default_factory=dict)
 
 
@@ -189,36 +201,54 @@ def build_ssl_schedulers(cfg: SSLPretrainConfig, global_batch_size: int):
     elif cfg.scaling_rule == "linear_wrt_256":
         s = global_batch_size / 256.0
         lr_peak, lr_end = lr_peak * s, lr_end * s
+    def _tabulate(sc: dict) -> np.ndarray:
+        """{start, peak, end, warmup_epochs[, cosine_epochs]} -> table,
+        with warmup AND cosine clamped into the run (short debug runs with
+        epochs << the recipe's warmup/cosine windows must still build)."""
+        warmup = min(int(sc.get("warmup_epochs", 0) * ep), total)
+        cosine = (
+            min(int(sc["cosine_epochs"] * ep), total - warmup)
+            if "cosine_epochs" in sc
+            else None
+        )
+        return linear_warmup_cosine_decay(
+            start=sc.get("start", 0.0),
+            peak=sc["peak"],
+            end=sc["end"],
+            warmup_iterations=warmup,
+            total_iterations=total,
+            cosine_iterations=cosine,
+        )
+
     # clamp warmup into the run (short debug runs with epochs < warmup_epochs)
     lr_table = cosine_schedule(lr_peak, lr_end, total, min(cfg.warmup_epochs * ep, total))
+    if cfg.lr_schedule:
+        lr_table = _tabulate(dict(cfg.lr_schedule))
+        lr_end = dict(cfg.lr_schedule)["end"]
     wd_table = cosine_schedule(cfg.weight_decay, cfg.weight_decay_end, total)
     mom_table = cosine_schedule(cfg.momentum_teacher, cfg.final_momentum_teacher, total)
-    temp_total = max(cfg.warmup_teacher_temp_epochs * ep, 1)
-    temp_table = cosine_schedule(
-        cfg.teacher_temp,
-        cfg.teacher_temp,
-        temp_total,
-        warmup_iters=temp_total,
-        start_warmup_value=cfg.warmup_teacher_temp,
-    )
+    temp_warmup = cfg.warmup_teacher_temp_epochs * ep
+    if temp_warmup <= 0:
+        # schedules.teacher_temp.warmup_epochs: 0 -> the temp starts warm
+        temp_table = np.full((1,), cfg.teacher_temp)
+    else:
+        temp_table = cosine_schedule(
+            cfg.teacher_temp,
+            cfg.teacher_temp,
+            temp_warmup,
+            warmup_iters=temp_warmup,
+            start_warmup_value=cfg.warmup_teacher_temp,
+        )
     last_layer_table = lr_table.copy()
     last_layer_table[: cfg.freeze_last_layer_epochs * ep] = 0.0
     gram_sched = None
     if cfg.gram_loss_weight_schedule:
         sc = dict(cfg.gram_loss_weight_schedule)
-        gram_sched = TabulatedSchedule(
-            linear_warmup_cosine_decay(
-                start=sc["start"],
-                peak=sc["peak"],
-                end=sc["end"],
-                warmup_iterations=int(sc["warmup_epochs"] * ep),
-                total_iterations=total,
-                cosine_iterations=(
-                    int(sc["cosine_epochs"] * ep) if "cosine_epochs" in sc else None
-                ),
-            ),
-            final_value=sc["end"],
-        )
+        gram_sched = TabulatedSchedule(_tabulate(sc), final_value=sc["end"])
+    local_sched = None
+    if cfg.local_loss_weight_schedule:
+        sc = dict(cfg.local_loss_weight_schedule)
+        local_sched = TabulatedSchedule(_tabulate(sc), final_value=sc["end"])
     return {
         "lr": TabulatedSchedule(lr_table, final_value=lr_end),
         "wd": TabulatedSchedule(wd_table, final_value=cfg.weight_decay_end),
@@ -226,6 +256,7 @@ def build_ssl_schedulers(cfg: SSLPretrainConfig, global_batch_size: int):
         "teacher_temp": TabulatedSchedule(temp_table, final_value=cfg.teacher_temp),
         "last_layer_lr": TabulatedSchedule(last_layer_table, final_value=lr_end),
         "gram_weight": gram_sched,
+        "local_loss_weight": local_sched,
     }
 
 
@@ -758,6 +789,11 @@ def run_pretraining(cfg: SSLPretrainConfig):
                 **(
                     {"gram_weight": sched["gram_weight"][it]}
                     if sched["gram_weight"] is not None
+                    else {}
+                ),
+                **(
+                    {"local_loss_weight": sched["local_loss_weight"][it]}
+                    if sched["local_loss_weight"] is not None
                     else {}
                 ),
             )
