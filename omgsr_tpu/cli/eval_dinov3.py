@@ -33,9 +33,17 @@ logger = logging.getLogger("omgsr_tpu.eval_dinov3")
 
 def load_imagefolder(d: str):
     """(paths, labels, classes) — lazy: extract_features decodes per batch
-    (an ImageNet-sized split would not fit host memory decoded up front)."""
+    (an ImageNet-sized split would not fit host memory decoded up front).
+    Also accepts a dataset spec ("ImageNet:split=VAL:root=...:extra=..." /
+    "ImageNet22k:root=...:extra=...", data/datasets.py) — the reference's
+    preprocessed benchmark layouts, probed without re-foldering."""
+    from omgsr_tpu.data.datasets import dataset_type, is_dataset_spec, make_dataset
     from omgsr_tpu.eval.probes import list_imagefolder
 
+    if is_dataset_spec(d):
+        if not hasattr(dataset_type(d), "get_paths_labels"):
+            raise ValueError(f"dataset {d!r} has no class labels to probe")
+        return make_dataset(d).get_paths_labels()
     return list_imagefolder(d)
 
 
@@ -93,7 +101,12 @@ def main(argv=None):
     parser.add_argument(
         "--mode", choices=["knn", "linear", "logreg", "all", "zeroshot"], default="all"
     )
-    parser.add_argument("--train_dir", default="", help="not used by --mode zeroshot")
+    parser.add_argument(
+        "--train_dir",
+        default="",
+        help="ImageFolder dir or dataset spec 'ImageNet:split=TRAIN:root=..."
+        ":extra=...' / 'ImageNet22k:root=...:extra=...'; unused by zeroshot",
+    )
     parser.add_argument("--val_dir", required=True)
     parser.add_argument("--arch", default="vitl16")
     parser.add_argument("--weights", default="", help=".pth (hub) or orbax backbone dir")

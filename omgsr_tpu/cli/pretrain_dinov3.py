@@ -260,7 +260,14 @@ def build_ssl_schedulers(cfg: SSLPretrainConfig, global_batch_size: int):
     }
 
 
-def list_ssl_images(paths) -> list[str]:
+def list_ssl_images(paths):
+    """Image sources for the SSL loader: dirs / .txt lists of paths, or a
+    dataset-string spec ("ImageNet22k:root=...:extra=...", data/datasets.py)
+    whose items are lazily decoded PIL images."""
+    from omgsr_tpu.data.datasets import is_dataset_spec, make_dataset
+
+    if is_dataset_spec(paths):
+        return make_dataset(paths).images
     if isinstance(paths, str):
         paths = [paths]
     files: list[str] = []
@@ -355,9 +362,12 @@ class SSLLoader:
         rng = np.random.default_rng((self.cfg.seed, it))
         samples = []
         for _ in range(self.batch):
-            path = self.files[next(self.sampler)]
-            with self._Image.open(path) as im:
-                samples.append(self.aug(rng, im.convert("RGB")))
+            item = self.files[next(self.sampler)]
+            if isinstance(item, str):  # path; datasets yield PIL directly
+                with self._Image.open(item) as im:
+                    samples.append(self.aug(rng, im.convert("RGB")))
+            else:
+                samples.append(self.aug(rng, item.convert("RGB")))
         return collate_ssl_batch(
             samples,
             rng,

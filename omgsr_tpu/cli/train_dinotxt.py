@@ -120,8 +120,15 @@ def load_dinotxt_config(path: Optional[str], overrides=None) -> DinoTxtTrainConf
 
 
 def list_caption_pairs(paths) -> list[tuple[str, str]]:
-    """(image path, caption) pairs from dirs with same-stem .txt sidecars
-    and/or .tsv manifests (`path<TAB>caption`, paths relative to the tsv)."""
+    """(image path, caption) pairs from dirs with same-stem .txt sidecars,
+    .tsv manifests (`path<TAB>caption`, paths relative to the tsv), or a
+    "CocoCaptions:split=TRAIN:root=..." dataset spec (data/datasets.py) —
+    whose captions are TUPLES: one is drawn per access, the reference's
+    random.choice target (coco_captions.py:86-87)."""
+    from omgsr_tpu.data.datasets import is_dataset_spec, make_dataset
+
+    if is_dataset_spec(paths):
+        return make_dataset(paths).get_pairs()
     if isinstance(paths, str):
         paths = [paths]
     pairs: list[tuple[str, str]] = []
@@ -195,6 +202,8 @@ class CaptionLoader:
         imgs, captions = [], []
         for _ in range(self.batch):
             path, caption = self.pairs[next(self.sampler)]
+            if isinstance(caption, tuple):  # caption list: draw one per access
+                caption = str(caption[rng.integers(len(caption))])
             with self._Image.open(path) as im:
                 im = random_resized_crop(
                     rng, im.convert("RGB"), self.cfg.crop_size, scale=(0.08, 1.0)
