@@ -240,7 +240,7 @@ def main():
     gc.collect()
 
     # ---- execution plan for everything below (see _budget_gate) -------------
-    train_f_scale = os.environ.get("OMGSR_BENCH_TRAIN_F", "3b")
+    train_f_scale = os.environ.get("OMGSR_BENCH_TRAIN_F", "12b_int4")
     bs_env = int(os.environ.get("OMGSR_BENCH_TRAIN_BS", "0"))
     _plan_add(
         "ssl_pretrain_vitb16_bs16_s_per_step", 2, 300,
@@ -253,9 +253,15 @@ def main():
         "train_s_512_s_per_step", 3, 330,
         os.environ.get("OMGSR_BENCH_TRAIN", "1") == "1",
     )
+    # "3b"/"12b" = int8 frozen base; "3b_int4"/"12b_int4" = nibble-packed
+    # int4 frozen base (~5.95 GB at 12B — the single-v5e train fit)
+    train_f_arch, _, train_f_variant = train_f_scale.partition("_")
+    train_f_bits = 4 if train_f_variant == "int4" else 8
     _plan_add(
-        f"train_f_1024_{train_f_scale}_int8base_s_per_step", 2, 700,
-        train_f_scale in ("3b", "12b"),
+        f"train_f_1024_{train_f_arch}_int{train_f_bits}base_s_per_step", 2,
+        # 12B staging through the tunnel is ~770s; steps are ~4.5s (int4)
+        900 if train_f_arch == "12b" else 700,
+        train_f_arch in ("3b", "12b"),
     )
     _plan_add(
         "omgsr_s_512to2048_x4_s_per_image", 5, 420,
@@ -502,14 +508,16 @@ def main():
         _section("train_s_512_s_per_step", extras, primary, lambda: run_train(1))
 
     # ---- section 5b: -F LoRA-GAN train micro-step at scale ------------------
-    # OMGSR_BENCH_TRAIN_F=3b (default) measures the reference -F recipe
-    # (1024 px, bs 1, grad ckpt with per-block remat, int8 frozen stacked
-    # base + bf16 stacked LoRA 64/64) at the 3B proxy scale on one v5e —
-    # measured 1.949 s/step (r3); =12b attempts the full 12B (needs ~20.3 GB
-    # vs the v5e's 15.75 — fits a 2-chip {fsdp:2} slice or one v5p, see
-    # CLAUDE.md); =0 disables. Runs after the -S sections so a compile
+    # OMGSR_BENCH_TRAIN_F=12b_int4 (default) measures the reference -F recipe
+    # (1024 px, bs 1, grad ckpt with per-block remat, quantized frozen
+    # stacked base + bf16 stacked LoRA 64/64) at FULL 12B with the int4
+    # nibble-packed base (5.56 GiB statics): the single-v5e fit, measured
+    # 4.51 s/step steady state (r4; staging ~770s, first-step compile
+    # ~580s cold). =3b measures the int8-base 3B proxy (1.949 s/step, r3);
+    # =12b attempts 12B at int8 (needs ~20.3 GB vs 15.75 — 2-chip {fsdp:2}
+    # or one v5p); =0 disables. Runs after the -S sections so a compile
     # blowout cannot cost the primary.
-    def run_train_f(scale):
+    def run_train_f(scale, bits=8):
         from dataclasses import replace as _replace
 
         from omgsr_tpu.config import TrainConfig
@@ -530,10 +538,11 @@ def main():
         cfg = TrainConfig(
             model="omgsr_f_1024", mid_timestep=244, gradient_accumulation_steps=1,
             lr_warmup_steps=0, learning_rate=1e-4, gradient_checkpointing=True,
-            quantize_base="int8", resolution=1024,
+            quantize_base=f"int{bits}", resolution=1024,
         )
         flux_q = init_flux_int8(
-            jax.random.key(11), flux_cfg, block_dtype=dtype, repeat_blocks=True
+            jax.random.key(11), flux_cfg, block_dtype=dtype, repeat_blocks=True,
+            bits=bits,
         )
         fvp = vae.init_vae(jax.random.key(12), FLUX_VAE, dtype=dtype)
         cn_cfg = CONVNEXT_SIZES["large"]
@@ -567,10 +576,11 @@ def main():
             iters=3,
         )
 
-    if train_f_scale in ("3b", "12b"):
+    if train_f_arch in ("3b", "12b"):
         _section(
-            f"train_f_1024_{train_f_scale}_int8base_s_per_step", extras, primary,
-            lambda: run_train_f(train_f_scale),
+            f"train_f_1024_{train_f_arch}_int{train_f_bits}base_s_per_step",
+            extras, primary,
+            lambda: run_train_f(train_f_arch, bits=train_f_bits),
         )
 
     # ---- section 6 (opt-in): -S 512->2048 x4 long-context protocol ----------

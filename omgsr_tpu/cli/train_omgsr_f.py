@@ -39,15 +39,19 @@ def build_frozen_f(cfg: TrainConfig, dtype):
     vae_cfg = vae_config_from_json(vae_dir)
     flux_cfg = flux_config_from_json(flux_dir)
     vae_params = port_diffusers_vae(vae_dir, cfg=vae_cfg, dtype=dtype)
-    if cfg.quantize_base == "int8":
+    if cfg.quantize_base in ("int8", "int4"):
         # 12B bf16 (23.8 GB) exceeds one chip: port on the host CPU backend,
-        # stack + weight-only-int8 there, and place only the 11.9 GB int8
-        # tree on device; LoRA trains in bf16 on top
+        # stack + weight-only-quantize there, and place only the compressed
+        # tree on device (int8 11.9 GB; int4 ~5.95 GB — the margin that fits
+        # the full train step's ~20.3 GB int8 requirement into 15.75 GB);
+        # LoRA trains in bf16 on top
         from omgsr_tpu.utils.quantize import quantize_flux_for_serving
 
         with jax.default_device(jax.devices("cpu")[0]):
             flux_params = port_flux_transformer(flux_dir, cfg=flux_cfg, dtype=dtype)
-        flux_params = quantize_flux_for_serving(flux_params)
+        flux_params = quantize_flux_for_serving(
+            flux_params, bits=4 if cfg.quantize_base == "int4" else 8
+        )
     else:
         flux_params = port_flux_transformer(flux_dir, cfg=flux_cfg, dtype=dtype)
 

@@ -81,8 +81,9 @@ class TrainConfig:
     degradation_params: Optional[str] = None  # path to params_realesrgan.yml
     degrade_on_device: bool = True  # run Real-ESRGAN degradation jitted on-TPU
     # "int8": store the frozen denoiser base weight-only int8 (scan-stacked)
-    # so the 12B FLUX DiT + LoRA training fits one 16 GB chip; LoRA trains
-    # in bf16 on top (utils.quantize, lora.init_lora_tree stacked support)
+    # so the 12B FLUX DiT + LoRA training fits 2 chips; "int4" nibble-packs
+    # it (~5.95 GB) so the FULL 12B train step fits ONE 16 GB chip; LoRA
+    # trains in bf16 on top (utils.quantize, lora.init_lora_tree)
     quantize_base: Optional[str] = None
 
     extra: dict = field(default_factory=dict)  # unknown keys preserved here

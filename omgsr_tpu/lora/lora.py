@@ -71,7 +71,7 @@ def path_matches_targets(module_path: str, targets) -> bool:
 def _iter_matched_kernels(params, targets):
     flat = flatten_dict(params)
     for path, leaf in flat.items():
-        if path[-1] not in ("kernel", "kernel_q"):
+        if path[-1] not in ("kernel", "kernel_q", "kernel_q4"):
             continue
         # strip the scan-stack marker so suffix matching sees the module path
         # (transformer_blocks.stacked.attn.to_q -> transformer_blocks.attn.to_q)
@@ -79,31 +79,36 @@ def _iter_matched_kernels(params, targets):
         module_path = ".".join(mkeys)
         if path_matches_targets(module_path, targets):
             stacked = "stacked" in path
-            yield path[:-1], leaf, stacked
+            yield path[:-1], leaf, stacked, path[-1] == "kernel_q4"
 
 
 def init_lora_tree(key, params, targets, rank: int, dtype=None):
     """Build a LoRA tree for every matched kernel in ``params``.
 
     Also covers scan-stacked layouts (a leading block axis on every kernel,
-    models.flux.stack_block_params) and int8-quantized frozen bases
-    (``kernel_q`` leaves, utils.quantize): LoRA factors get the same leading
-    axis so lax.scan slices them alongside the block params, and default to
-    bfloat16 when the base is int8 (training the adapters in the compute
-    dtype while the frozen base stays compressed)."""
+    models.flux.stack_block_params) and int8/int4-quantized frozen bases
+    (``kernel_q``/``kernel_q4`` leaves, utils.quantize — int4's in dim is
+    the packed dim doubled): LoRA factors get the same leading axis so
+    lax.scan slices them alongside the block params, and default to
+    bfloat16 when the base is quantized (training the adapters in the
+    compute dtype while the frozen base stays compressed)."""
     out = {}
     matched = list(_iter_matched_kernels(params, targets))
     if not matched:
         raise ValueError(f"no modules matched targets {targets}")
     keys = jax.random.split(key, len(matched))
-    for k, (mpath, kernel, stacked) in zip(keys, matched):
+    for k, (mpath, kernel, stacked, packed4) in zip(keys, matched):
         kdtype = dtype or (
-            jnp.bfloat16 if kernel.dtype == jnp.int8 else kernel.dtype
+            jnp.bfloat16
+            if kernel.dtype in (jnp.int8, jnp.uint8)
+            else kernel.dtype
         )
         ndim = kernel.ndim - (1 if stacked else 0)
         lead = (kernel.shape[0],) if stacked else ()
         if ndim == 2:  # dense (in, out)
             in_dim, out_dim = kernel.shape[-2:]
+            if packed4:  # int4 stores two in-rows per byte (utils.quantize)
+                in_dim *= 2
             a = jax.random.normal(k, lead + (in_dim, rank), kdtype) * (1.0 / rank)
             b = jnp.zeros(lead + (rank, out_dim), kdtype)
         elif ndim == 4:  # conv (kh, kw, in, out)
@@ -149,11 +154,13 @@ def merge_lora(base_params, lora_tree):
     lflat = flatten_dict(lora_tree)
     mpaths = {p[:-1] for p in lflat if p[-1] == "lora_A"}
     for mpath in mpaths:
-        if mpath + ("kernel",) not in flat and mpath + ("kernel_q",) in flat:
+        if mpath + ("kernel",) not in flat and (
+            mpath + ("kernel_q",) in flat or mpath + ("kernel_q4",) in flat
+        ):
             raise ValueError(
-                f"cannot merge LoRA into int8-quantized kernel at {'.'.join(mpath)}: "
-                "merge into the float base before quantize_tree_int8, or keep the "
-                "adapter attached (attach_lora applies it at run time)"
+                f"cannot merge LoRA into a quantized kernel at {'.'.join(mpath)}: "
+                "merge into the float base before quantize_tree_int8/int4, or keep "
+                "the adapter attached (attach_lora applies it at run time)"
             )
         flat[mpath + ("kernel",)] = _merged_kernel(
             flat[mpath + ("kernel",)], lflat[mpath + ("lora_A",)], lflat[mpath + ("lora_B",)]

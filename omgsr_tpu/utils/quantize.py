@@ -35,6 +35,37 @@ def quantize_kernel_int8(w):
     return q, scale
 
 
+def quantize_kernel_int4(w):
+    """(…, in, out) float kernel -> (uint8 kernel_q4 nibble-packed along the
+    in axis, f32 per-out-channel scale).
+
+    4-bit symmetric per-output-channel storage (scale = absmax/7, codes in
+    [-7, 7] stored offset-8): HALVES the int8 footprint again — the 11.9 GB
+    int8 frozen 12B DiT becomes ~5.95 GB, the margin that fits the -F
+    LoRA-GAN train step (measured ~20.3 GB with an int8 base vs 15.75 GB
+    HBM) on ONE v5e. Storage-only: dequantize_kernel unpacks per scan block
+    to the compute dtype, so the matmul stays bf16 on the MXU. Requires an
+    even in dim (two codes per byte)."""
+    w32 = jnp.asarray(w, jnp.float32)
+    if w32.shape[-2] % 2:
+        raise ValueError(f"int4 packing needs an even in dim, got {w32.shape}")
+    scale = jnp.max(jnp.abs(w32), axis=-2) / 7.0  # (…, out)
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -7, 7) + 8.0  # [1, 15]
+    q = q.astype(jnp.uint8)
+    packed = q[..., 0::2, :] | (q[..., 1::2, :] << 4)
+    return packed, scale
+
+
+def unpack_int4(packed):
+    """uint8 (…, in/2, out) nibble-packed -> int8 codes (…, in, out) in
+    [-7, 7] (element order restored: low nibble first)."""
+    lo = (packed & 0x0F).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    pair = jnp.stack([lo, hi], axis=-2)  # (…, in/2, 2, out)
+    return pair.reshape(*packed.shape[:-2], 2 * packed.shape[-2], packed.shape[-1])
+
+
 def dequantize_kernel(p, dtype):
     """Materialize a (possibly quantized) kernel in `dtype`."""
     if "kernel" in p:
@@ -42,8 +73,11 @@ def dequantize_kernel(p, dtype):
     # multiply in f32 (the scale's native precision) before casting: casting
     # the scale to bf16 first adds ~0.2-0.4% systematic per-channel error on
     # top of int8 rounding. Under scan only one block's f32 copy is live.
-    w = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"][..., None, :]
-    return w.astype(dtype)
+    if "kernel_q4" in p:
+        w = unpack_int4(p["kernel_q4"]).astype(jnp.float32)
+    else:
+        w = p["kernel_q"].astype(jnp.float32)
+    return (w * p["kernel_scale"][..., None, :]).astype(dtype)
 
 
 # Subtrees whose dense layers keep weight-only dequantization even under
@@ -55,7 +89,7 @@ W8A8_EXCLUDE = frozenset(
 )
 
 
-def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False):
+def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False, bits: int = 8):
     """Replace every dense kernel (2-D, or 3-D scan-stacked) with at least
     `min_params` elements by int8 + scale. Conv kernels (4-D), norms, biases,
     embeddings and LoRA factors stay in their original dtype. Returns a new
@@ -67,7 +101,16 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False)
     the MXU (inference-only — the rounding is non-differentiable; training
     uses weight-only storage). Measured on the 12B DiT protocol: 1.38x over
     weight-only (the v5e's datasheet 2x int8 rate is not reachable through
-    this XLA stack — see CLAUDE.md perf notes)."""
+    this XLA stack — see CLAUDE.md perf notes).
+
+    bits=4 stores nibble-packed int4 instead (quantize_kernel_int4) —
+    training-memory mode for the frozen 12B base; kernels with an odd in
+    dim fall back to int8. Incompatible with act_quant (the w8a8 MXU path
+    consumes int8 codes)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if bits == 4 and act_quant:
+        raise ValueError("act_quant (w8a8) requires int8 codes; use bits=8")
 
     def rec(node, excluded):
         if not isinstance(node, dict):
@@ -80,7 +123,8 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False)
             and k.size >= min_params
             and jnp.issubdtype(jnp.asarray(k).dtype, jnp.floating)
         ):
-            q, scale = quantize_kernel_int8(k)
+            q4 = bits == 4 and k.shape[-2] % 2 == 0
+            q, scale = (quantize_kernel_int4 if q4 else quantize_kernel_int8)(k)
             # recurse into the sibling values too (nested sub-dicts sharing a
             # level with a large kernel must not silently stay unquantized)
             out = {
@@ -88,7 +132,7 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False)
                 for kk, vv in node.items()
                 if kk != "kernel"
             }
-            out["kernel_q"] = q
+            out["kernel_q4" if q4 else "kernel_q"] = q
             out["kernel_scale"] = scale
             if act_quant and not excluded:
                 # leading axis matches a scan-stacked kernel so lax.scan can
@@ -116,29 +160,40 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False)
     return rec(tree, False)
 
 
+def quantize_tree_int4(tree, min_params: int = 1 << 16):
+    """quantize_tree_int8 at bits=4: nibble-packed weight-only storage for
+    frozen bases under training (the -F 12B single-chip fit)."""
+    return quantize_tree_int8(tree, min_params=min_params, bits=4)
+
+
 def tree_bytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
-def quantize_flux_for_serving(flux_params, act_quant: bool = False):
+def quantize_flux_for_serving(
+    flux_params, act_quant: bool = False, bits: int = 8, min_params: int = 1 << 16
+):
     """Stack-then-quantize a (ported, LoRA-merged) FLUX tree on the host CPU
     backend and place only the int8 result on the default device — the
     accelerator never holds the bf16 stacked copy (23.8 GB for 12B).
-    act_quant=True enables the w8a8 int8-MXU compute path (inference-only)."""
+    act_quant=True enables the w8a8 int8-MXU compute path (inference-only).
+    bits=4 packs the frozen base to ~5.95 GB (training-fit mode)."""
     from omgsr_tpu.models import flux as flux_mod
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         if "stacked" not in flux_params.get("transformer_blocks", {}):
             flux_params = flux_mod.stack_block_params(flux_params)
-        flux_params = quantize_tree_int8(flux_params, act_quant=act_quant)
+        flux_params = quantize_tree_int8(
+            flux_params, min_params=min_params, act_quant=act_quant, bits=bits
+        )
     dev = jax.devices()[0]
     return jax.tree.map(lambda x: jax.device_put(x, dev), flux_params)
 
 
 def init_flux_int8(
     key, cfg, block_dtype=jnp.bfloat16, repeat_blocks: bool = False,
-    act_quant: bool = False,
+    act_quant: bool = False, bits: int = 8, min_params: int = 1 << 16,
 ):
     """Initialize a FLUX param tree directly in int8-compressed form without
     ever materializing the full bf16 tree on the accelerator: blocks are
@@ -158,14 +213,18 @@ def init_flux_int8(
     if not repeat_blocks:
         with jax.default_device(cpu):
             params = flux_mod.init_flux(key, cfg, dtype=block_dtype)
-        return quantize_flux_for_serving(params, act_quant=act_quant)
+        return quantize_flux_for_serving(
+            params, act_quant=act_quant, bits=bits, min_params=min_params
+        )
 
     with jax.default_device(cpu):
         one = flux_mod.init_flux(
             key, replace(cfg, num_layers=1, num_single_layers=1), dtype=block_dtype
         )
         one = flux_mod.stack_block_params(one)
-        one = quantize_tree_int8(one, act_quant=act_quant)
+        one = quantize_tree_int8(
+            one, min_params=min_params, act_quant=act_quant, bits=bits
+        )
 
     # Ship ONE block's leaves (~0.2 GB int8 at 12B) and replicate across the
     # scan stack ON THE DEVICE: transferring the host-repeated 11.1 GB tree

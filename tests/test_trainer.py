@@ -199,6 +199,54 @@ class TestTrainerF:
         assert max(float(np.abs(a - b).max()) for a, b in zip(after, before)) > 0
         assert pred.shape == (2, 64, 64, 3)
 
+    def test_step_runs_int4_stacked_base_with_remat(self):
+        """The single-chip 12B recipe at tiny size: frozen DiT scan-stacked
+        + nibble-packed int4 (the storage mode that fits the full train
+        step on one v5e), bf16 LoRA on top. Losses finite, LoRA moves,
+        base stays packed uint8."""
+        from omgsr_tpu.utils.quantize import quantize_tree_int4
+
+        cfg = TrainConfig(
+            model="omgsr_f_1024", mid_timestep=244, gradient_accumulation_steps=1,
+            lr_warmup_steps=0, learning_rate=1e-3, gradient_checkpointing=True,
+            quantize_base="int4",
+        )
+        vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
+        fp = quantize_tree_int4(
+            F.stack_block_params(F.init_flux(jax.random.key(1), TINY_FLUX)),
+            min_params=1 << 6,
+        )
+        assert any(
+            x.dtype == jnp.uint8 for x in jax.tree.leaves(fp)
+        ), "fixture must actually int4-quantize"
+        bp = CN.init_convnext(jax.random.key(2), TINY_CN)
+        frozen = {
+            "vae": vp,
+            "vae_cfg": TINY_FLUX_VAE,
+            "flux": fp,
+            "flux_cfg": TINY_FLUX,
+            "backbone": bp,
+            "dists": init_dists(bp, TINY_CN.dims),
+            "prompt_embeds": jax.random.normal(jax.random.key(3), (1, 5, 16)),
+            "pooled_prompt_embeds": jax.random.normal(jax.random.key(4), (1, 8)),
+        }
+        gen_lora = {
+            "vae_encoder": init_lora_tree(jax.random.key(5), vp["encoder"], SD_TARGET_MODULES, 2),
+            "denoiser": init_lora_tree(jax.random.key(6), fp, FLUX_TARGET_MODULES, 2),
+        }
+        # LoRA A sized by the TRUE in dim (packed dim doubled back)
+        dual_lora = gen_lora["denoiser"]["transformer_blocks"]["stacked"]
+        assert dual_lora["attn"]["to_q"]["lora_A"].shape[-2] == TINY_FLUX.num_attention_heads * TINY_FLUX.attention_head_dim
+        disc = init_discriminator(jax.random.key(7), TINY_CN.dims[:3], configs=TINY_HEADS)
+        tr = TrainerF(cfg, frozen, gen_lora, disc)
+        before = [np.asarray(x) for x in jax.tree.leaves(tr.state["gen"]["lora"])]
+        metrics, pred = tr.train_step(_batch(), jax.random.key(0))
+        assert np.isfinite(float(metrics["loss_total_G"]))
+        assert np.isfinite(float(metrics["loss_total_D"]))
+        after = [np.asarray(x) for x in jax.tree.leaves(tr.state["gen"]["lora"])]
+        assert max(float(np.abs(a - b).max()) for a, b in zip(after, before)) > 0
+        assert pred.shape == (2, 64, 64, 3)
+
 
 class TestDataParallel:
     def test_dp_step_matches_single_device(self):
