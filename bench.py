@@ -51,7 +51,7 @@ NORTH_STAR_S = 1.0  # s/image, BASELINE.json
 # legacy name for the same knob.
 RUN_BUDGET_S = float(
     os.environ.get(
-        "OMGSR_BENCH_BUDGET_S", os.environ.get("OMGSR_BENCH_DEADLINE_S", "2400")
+        "OMGSR_BENCH_BUDGET_S", os.environ.get("OMGSR_BENCH_DEADLINE_S", "3000")
     )
 )
 SECTION_DEADLINE_S = RUN_BUDGET_S
@@ -243,14 +243,14 @@ def main():
     train_f_scale = os.environ.get("OMGSR_BENCH_TRAIN_F", "12b_int4")
     bs_env = int(os.environ.get("OMGSR_BENCH_TRAIN_BS", "0"))
     _plan_add(
-        "ssl_pretrain_vitb16_bs16_s_per_step", 2, 300,
+        "ssl_pretrain_vitb16_bs16_s_per_step", 2, 180,
         os.environ.get("OMGSR_BENCH_SSL", "1") == "1",
     )
-    _plan_add(primary_s, 0 if primary == primary_s else 1, 300)
-    _plan_add("omgsr_s_512_one_step_s_per_image", 3, 150)
-    _plan_add("omgsr_f_1024_proxy3b_s_per_image", 4, 360)
+    _plan_add(primary_s, 0 if primary == primary_s else 1, 200)
+    _plan_add("omgsr_s_512_one_step_s_per_image", 3, 90)
+    _plan_add("omgsr_f_1024_proxy3b_s_per_image", 4, 240)
     _plan_add(
-        "train_s_512_s_per_step", 3, 330,
+        "train_s_512_s_per_step", 3, 240,
         os.environ.get("OMGSR_BENCH_TRAIN", "1") == "1",
     )
     # "3b"/"12b" = int8 frozen base; "3b_int4"/"12b_int4" = nibble-packed
@@ -273,11 +273,11 @@ def main():
     )
     _plan_add(f"train_s_512_bs{bs_env}_s_per_step", 5, 420, bs_env >= 1)
     _plan_add(
-        "serving_device_512_imgs_per_s", 2, 240,
+        "serving_device_512_imgs_per_s", 2, 160,
         os.environ.get("OMGSR_BENCH_SERVING", "1") == "1",
     )
     _plan_add(
-        "int8_bf16_matmul_ratio", 2, 200,
+        "int8_bf16_matmul_ratio", 2, 130,
         os.environ.get("OMGSR_BENCH_INT8_PROBE", "1") == "1",
     )
 
