@@ -281,6 +281,84 @@ def main():
         os.environ.get("OMGSR_BENCH_INT8_PROBE", "1") == "1",
     )
 
+    # OMGSR_BENCH_TRAIN_F=12b_int4 (default) measures the reference -F recipe
+    # (1024 px, bs 1, grad ckpt with per-block remat, quantized frozen
+    # stacked base + bf16 stacked LoRA 64/64) at FULL 12B with the int4
+    # nibble-packed base (5.56 GiB statics): the single-v5e fit, measured
+    # 4.51 s/step steady state (r4; staging ~770s, first-step compile
+    # ~580s cold). =3b measures the int8-base 3B proxy (1.949 s/step, r3);
+    # =12b attempts 12B at int8 (needs ~20.3 GB vs 15.75 — 2-chip {fsdp:2}
+    # or one v5p); =0 disables. Runs FIRST among extras: the 14+ GB step
+    # needs the empty HBM right after the primary frees its 12B, and a
+    # later section's tunnel stall must starve the nice-to-haves, not this
+    # record (r4 lesson: a serving-section transport hang ate 30 min of
+    # budget and the gate dropped this section).
+    def run_train_f(scale, bits=8):
+        from dataclasses import replace as _replace
+
+        from omgsr_tpu.config import TrainConfig
+        from omgsr_tpu.lora import (
+            FLUX_TARGET_MODULES, SD_TARGET_MODULES, init_lora_tree,
+        )
+        from omgsr_tpu.losses.discriminator import init_discriminator
+        from omgsr_tpu.losses.dists import init_dists
+        from omgsr_tpu.models import convnext as CN
+        from omgsr_tpu.models.configs import CONVNEXT_SIZES, FLUX_DEV, FLUX_VAE
+        from omgsr_tpu.training.trainer import TrainerF
+        from omgsr_tpu.utils.quantize import init_flux_int8
+
+        flux_cfg = (
+            FLUX_DEV if scale == "12b"
+            else _replace(FLUX_DEV, num_layers=5, num_single_layers=9)
+        )
+        cfg = TrainConfig(
+            model="omgsr_f_1024", mid_timestep=244, gradient_accumulation_steps=1,
+            lr_warmup_steps=0, learning_rate=1e-4, gradient_checkpointing=True,
+            quantize_base=f"int{bits}", resolution=1024,
+        )
+        flux_q = init_flux_int8(
+            jax.random.key(11), flux_cfg, block_dtype=dtype, repeat_blocks=True,
+            bits=bits,
+        )
+        fvp = vae.init_vae(jax.random.key(12), FLUX_VAE, dtype=dtype)
+        cn_cfg = CONVNEXT_SIZES["large"]
+        bp = CN.init_convnext(jax.random.key(13), cn_cfg, dtype=dtype)
+        frozen_f = {
+            "vae": fvp, "vae_cfg": FLUX_VAE, "flux": flux_q, "flux_cfg": flux_cfg,
+            "backbone": bp, "dists": init_dists(bp, cn_cfg.dims),
+            "prompt_embeds": jnp.asarray(rng.normal(size=(1, 512, 4096)), dtype),
+            "pooled_prompt_embeds": jnp.asarray(rng.normal(size=(1, 768)), dtype),
+        }
+        gen_lora_f = {
+            "vae_encoder": init_lora_tree(
+                jax.random.key(14), fvp["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
+            ),
+            "denoiser": init_lora_tree(
+                jax.random.key(15), flux_q, FLUX_TARGET_MODULES,
+                cfg.flux_transformer_lora_rank,
+            ),
+        }
+        disc_f = init_discriminator(jax.random.key(16), cn_cfg.dims[:3], cfg.resolution)
+        trainer_f = TrainerF(cfg, frozen_f, gen_lora_f, disc_f)
+
+        def train_micro(batch):
+            metrics, _ = trainer_f.train_step(batch, jax.random.key(17))
+            return metrics["loss_total_G"]
+
+        return _timed(
+            train_micro,
+            lambda: {"lq": fresh((1, 1024, 1024, 3)), "hq": fresh((1, 1024, 1024, 3))},
+            lambda loss: float(loss),
+            iters=3,
+        )
+
+    if train_f_arch in ("3b", "12b"):
+        _section(
+            f"train_f_1024_{train_f_arch}_int{train_f_bits}base_s_per_step",
+            extras, primary,
+            lambda: run_train_f(train_f_arch, bits=train_f_bits),
+        )
+
     # ---- section 1b: DINOv3 SSL pretraining step ------------------------------
     # Full DINOv3 SSL pretraining step on one chip: 2x224 global + 8x96
     # local crops, 65536-d DINO/iBOT heads, masked sinkhorn, KoLeo,
@@ -412,25 +490,33 @@ def main():
     _section("omgsr_s_512_one_step_s_per_image", extras, primary, run_512_one_step)
 
     # ---- section 3b: serving device-side loopback ----------------------------
-    # The serving daemon's FUSED SR+color-fix graph (one device dispatch per
-    # request, serving/server.py make_fused_infer) at the 512 one-step
-    # geometry, measured loopback — no HTTP, PNG codec, or host PIL. This
-    # bounds what a co-located TPU host serves per second; the tunnel's HTTP
-    # p50 (~363 ms) is dominated by per-request transfers that co-location
-    # removes. Reports images/second.
+    # The serving daemon's device path at the 512 one-step geometry, measured
+    # loopback — no HTTP, PNG codec, or host PIL. This bounds what a
+    # co-located TPU host serves per second; the tunnel's HTTP p50 (~363 ms)
+    # is dominated by per-request transfers that co-location removes.
+    # Measures the SPLIT dispatch form (SR jit + switched color-fix jit,
+    # cli.serve --color_fix_dispatch split): the FUSED mega-module (full
+    # 865M pipeline + vmapped 3-branch fix in one jit) reproducibly hangs
+    # this tunnel's remote-compile service ~30 min then breaks the pipe
+    # (r4, twice), while each half compiles fine (fix alone 102 s). The
+    # split form adds one device roundtrip per request — the co-located
+    # fused number can only be better. Reports images/second.
     def run_serving():
-        from omgsr_tpu.serving.server import make_fused_infer
+        from omgsr_tpu.ops.color import switched_color_fix_batch
 
-        def pipe_call(lq, i):
-            return pipe(lq, prompt_sd, 64, 32, rng=jax.random.key(i))
-
-        fused = make_fused_infer(pipe_call, dtype)
+        fix = jax.jit(switched_color_fix_batch)
         hw = np.asarray([[512, 512]], np.int32)
         align = np.asarray([1], np.int32)  # adain, the CLI default
 
+        def serve_one(lq):
+            out = pipe(lq.astype(dtype), prompt_sd, 64, 32, rng=jax.random.key(0))
+            out01 = out.astype(jnp.float32) * 0.5 + 0.5
+            src01 = lq.astype(jnp.float32) * 0.5 + 0.5
+            return fix(out01, src01, hw, align)
+
         t = _timed(
-            lambda lq: fused(lq, 0, hw, align),
-            lambda: fresh((1, 512, 512, 3)),
+            serve_one,
+            lambda: fresh((1, 512, 512, 3)).astype(jnp.float32),
             fence,
         )
         return 1.0 / t
@@ -508,80 +594,6 @@ def main():
         _section("train_s_512_s_per_step", extras, primary, lambda: run_train(1))
 
     # ---- section 5b: -F LoRA-GAN train micro-step at scale ------------------
-    # OMGSR_BENCH_TRAIN_F=12b_int4 (default) measures the reference -F recipe
-    # (1024 px, bs 1, grad ckpt with per-block remat, quantized frozen
-    # stacked base + bf16 stacked LoRA 64/64) at FULL 12B with the int4
-    # nibble-packed base (5.56 GiB statics): the single-v5e fit, measured
-    # 4.51 s/step steady state (r4; staging ~770s, first-step compile
-    # ~580s cold). =3b measures the int8-base 3B proxy (1.949 s/step, r3);
-    # =12b attempts 12B at int8 (needs ~20.3 GB vs 15.75 — 2-chip {fsdp:2}
-    # or one v5p); =0 disables. Runs after the -S sections so a compile
-    # blowout cannot cost the primary.
-    def run_train_f(scale, bits=8):
-        from dataclasses import replace as _replace
-
-        from omgsr_tpu.config import TrainConfig
-        from omgsr_tpu.lora import (
-            FLUX_TARGET_MODULES, SD_TARGET_MODULES, init_lora_tree,
-        )
-        from omgsr_tpu.losses.discriminator import init_discriminator
-        from omgsr_tpu.losses.dists import init_dists
-        from omgsr_tpu.models import convnext as CN
-        from omgsr_tpu.models.configs import CONVNEXT_SIZES, FLUX_DEV, FLUX_VAE
-        from omgsr_tpu.training.trainer import TrainerF
-        from omgsr_tpu.utils.quantize import init_flux_int8
-
-        flux_cfg = (
-            FLUX_DEV if scale == "12b"
-            else _replace(FLUX_DEV, num_layers=5, num_single_layers=9)
-        )
-        cfg = TrainConfig(
-            model="omgsr_f_1024", mid_timestep=244, gradient_accumulation_steps=1,
-            lr_warmup_steps=0, learning_rate=1e-4, gradient_checkpointing=True,
-            quantize_base=f"int{bits}", resolution=1024,
-        )
-        flux_q = init_flux_int8(
-            jax.random.key(11), flux_cfg, block_dtype=dtype, repeat_blocks=True,
-            bits=bits,
-        )
-        fvp = vae.init_vae(jax.random.key(12), FLUX_VAE, dtype=dtype)
-        cn_cfg = CONVNEXT_SIZES["large"]
-        bp = CN.init_convnext(jax.random.key(13), cn_cfg, dtype=dtype)
-        frozen_f = {
-            "vae": fvp, "vae_cfg": FLUX_VAE, "flux": flux_q, "flux_cfg": flux_cfg,
-            "backbone": bp, "dists": init_dists(bp, cn_cfg.dims),
-            "prompt_embeds": jnp.asarray(rng.normal(size=(1, 512, 4096)), dtype),
-            "pooled_prompt_embeds": jnp.asarray(rng.normal(size=(1, 768)), dtype),
-        }
-        gen_lora_f = {
-            "vae_encoder": init_lora_tree(
-                jax.random.key(14), fvp["encoder"], SD_TARGET_MODULES, cfg.vae_lora_rank
-            ),
-            "denoiser": init_lora_tree(
-                jax.random.key(15), flux_q, FLUX_TARGET_MODULES,
-                cfg.flux_transformer_lora_rank,
-            ),
-        }
-        disc_f = init_discriminator(jax.random.key(16), cn_cfg.dims[:3], cfg.resolution)
-        trainer_f = TrainerF(cfg, frozen_f, gen_lora_f, disc_f)
-
-        def train_micro(batch):
-            metrics, _ = trainer_f.train_step(batch, jax.random.key(17))
-            return metrics["loss_total_G"]
-
-        return _timed(
-            train_micro,
-            lambda: {"lq": fresh((1, 1024, 1024, 3)), "hq": fresh((1, 1024, 1024, 3))},
-            lambda loss: float(loss),
-            iters=3,
-        )
-
-    if train_f_arch in ("3b", "12b"):
-        _section(
-            f"train_f_1024_{train_f_arch}_int{train_f_bits}base_s_per_step",
-            extras, primary,
-            lambda: run_train_f(train_f_arch, bits=train_f_bits),
-        )
 
     # ---- section 6 (opt-in): -S 512->2048 x4 long-context protocol ----------
     # 49 latent-64 tiles + full-image VAE at 2048 px; the 2048 decode's mid

@@ -86,7 +86,18 @@ def _make_infer_fn(args, dtype):
     def infer_fn(lq, i):
         return pipe_call(jnp.asarray(lq, dtype), i)
 
-    fused_fn = None if args.vae_tile else make_fused_infer(pipe_call, dtype)
+    # --color_fix_dispatch split keeps SR and color fix as two jitted
+    # dispatches: one extra device roundtrip per request (~free co-located),
+    # but the fused mega-module (full pipeline + vmapped 3-branch fix) is
+    # too large for some remote-compile services — measured on the axon
+    # tunnel: fix alone compiles in 102 s, fused-with-tiny-model in 75 s,
+    # fused-with-the-865M-UNet hangs ~30 min then breaks the compiler pipe
+    # (twice). Default stays fused for co-located TPU hosts.
+    fused_fn = (
+        None
+        if (args.vae_tile or getattr(args, "color_fix_dispatch", "fused") == "split")
+        else make_fused_infer(pipe_call, dtype)
+    )
     return infer_fn, fused_fn
 
 
@@ -211,6 +222,12 @@ def parse_args(argv=None):
     parser.add_argument("--quantize", type=str, default="none",
                         choices=["none", "int8", "int8_w8a8"],
                         help="int8 DiT serving (pipeline=f; 12B fits one 16 GB v5e)")
+    parser.add_argument("--color_fix_dispatch", type=str, default="fused",
+                        choices=["fused", "split"],
+                        help="fused: color fix inside the SR graph (one "
+                        "dispatch/request; co-located default). split: two "
+                        "dispatches — required on remote-compile tunnels "
+                        "whose compiler rejects the fused mega-module")
     parser.add_argument("--vae_tile", type=int, default=None)
     parser.add_argument("--vae_stats", type=str, default="fast",
                         choices=["fast", "exact", "auto"])

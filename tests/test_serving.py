@@ -306,6 +306,47 @@ class TestServeCLI:
         finally:
             server.shutdown()
 
+    def test_split_dispatch_matches_fused(self, tmp_path_factory, tmp_path):
+        """--color_fix_dispatch split (two jitted dispatches; required on
+        remote-compile tunnels whose compiler rejects the fused mega-module)
+        serves the fused default's pixels (<=1 uint8 rounding step, same
+        bound as test_fused_matches_two_dispatch_path)."""
+        from omgsr_tpu.cli.serve import main, parse_args
+        from tests.test_e2e_cli import make_fake_sd_checkpoint
+
+        ckpt = make_fake_sd_checkpoint(tmp_path_factory.mktemp("fake_sd_split"))
+        rng = np.random.default_rng(0)
+        np.savez(tmp_path / "prompt.npz",
+                 prompt_embeds=rng.normal(size=(1, 7, 16)).astype(np.float32))
+        base = [
+            "--pipeline", "s", "--sd_path", str(ckpt),
+            "--prompt_npz", str(tmp_path / "prompt.npz"),
+            "--process_size", "64", "--upscale", "4",
+            "--weight_dtype", "fp32", "--port", "0",
+            "--align_method", "adain",
+        ]
+        outs = {}
+        body = _png_bytes(24, 16)
+        for mode in ("fused", "split"):
+            args = parse_args(base + ["--color_fix_dispatch", mode])
+            server, httpd = main(args, serve_forever=False)
+            assert (server.fused_infer_fn is not None) == (mode == "fused")
+            t = threading.Thread(target=httpd.serve_forever, daemon=True)
+            t.start()
+            host, port = httpd.server_address[:2]
+            try:
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/v1/sr", data=body, method="POST"
+                )
+                with urllib.request.urlopen(req) as r:
+                    outs[mode] = np.asarray(Image.open(io.BytesIO(r.read())))
+            finally:
+                server.shutdown()
+        assert outs["fused"].shape == outs["split"].shape
+        assert np.abs(
+            outs["fused"].astype(int) - outs["split"].astype(int)
+        ).max() <= 1
+
     def test_reload_hot_swaps_adapter(self, tmp_path_factory, tmp_path):
         from omgsr_tpu.cli.serve import main, parse_args
         from omgsr_tpu.lora import SD_TARGET_MODULES, init_lora_tree, save_adapter
