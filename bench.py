@@ -494,25 +494,30 @@ def main():
     # loopback — no HTTP, PNG codec, or host PIL. This bounds what a
     # co-located TPU host serves per second; the tunnel's HTTP p50 (~363 ms)
     # is dominated by per-request transfers that co-location removes.
-    # Measures the SPLIT dispatch form (SR jit + switched color-fix jit,
-    # cli.serve --color_fix_dispatch split): the FUSED mega-module (full
+    # Measures the SPLIT dispatch form (SR jit + the server's per-method
+    # color-fix jit, cli.serve --color_fix_dispatch split): the FUSED mega-module (full
     # 865M pipeline + vmapped 3-branch fix in one jit) reproducibly hangs
     # this tunnel's remote-compile service ~30 min then breaks the pipe
     # (r4, twice), while each half compiles fine (fix alone 102 s). The
     # split form adds one device roundtrip per request — the co-located
     # fused number can only be better. Reports images/second.
     def run_serving():
-        from omgsr_tpu.ops.color import switched_color_fix_batch
+        from omgsr_tpu.ops.color import adain_color_fix
 
-        fix = jax.jit(switched_color_fix_batch)
-        hw = np.asarray([[512, 512]], np.int32)
-        align = np.asarray([1], np.int32)  # adain, the CLI default
+        # the split server's second dispatch is jit(adain_color_fix) on the
+        # cropped [0,1] images (serving/server.py self._fix); fold the
+        # [-1,1]->[0,1] rescales into the same jit so the loopback stays
+        # two device dispatches per request, like the server
+        fix = jax.jit(
+            lambda out, src: adain_color_fix(
+                out.astype(jnp.float32) * 0.5 + 0.5,
+                src.astype(jnp.float32) * 0.5 + 0.5,
+            )
+        )
 
         def serve_one(lq):
             out = pipe(lq.astype(dtype), prompt_sd, 64, 32, rng=jax.random.key(0))
-            out01 = out.astype(jnp.float32) * 0.5 + 0.5
-            src01 = lq.astype(jnp.float32) * 0.5 + 0.5
-            return fix(out01, src01, hw, align)
+            return fix(out, lq)
 
         t = _timed(
             serve_one,

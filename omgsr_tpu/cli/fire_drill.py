@@ -24,8 +24,11 @@ One command exercises the ENTIRE real-weight chain at real architecture:
     python -m omgsr_tpu.cli.fire_drill --family flux --root /tmp/drill_flux
 
 Exit code 0 + `"passed": true` in <root>/drill_report.json = the day real
-weights mount, the same chain is turnkey execution (swap --root for the
-real checkpoint dir and skip step 1).
+weights mount, the same chain is turnkey execution: run the production
+CLIs (`validate_checkpoint --sd_path/--flux_path`, `infer_omgsr_*`,
+`eval_sr`) directly against the real checkpoint dir — the drill proved
+each of those stages at real architecture. `--root` itself is a SCRATCH
+directory the drill owns: it must not already contain a checkpoint.
 """
 
 from __future__ import annotations
@@ -125,6 +128,13 @@ def fabricate(family: str, root: str, seed: int, max_shard_gb: float):
     max_shard = int(max_shard_gb * (1 << 30))
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
+    for sub in ("vae", "unet", "transformer"):
+        if os.path.isdir(os.path.join(root, sub)):
+            raise SystemExit(
+                f"--root {root!r} already contains {sub}/ — the drill "
+                "fabricates (and later deletes) its own scratch checkpoint; "
+                "point --root at an empty directory, never at real weights"
+            )
 
     if family == "sd":
         from omgsr_tpu.models import unet_sd as U
@@ -365,10 +375,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s %(message)s")
 
+    pre_existing = set(os.listdir(args.root)) if os.path.isdir(args.root) else set()
     report = run_drill(args)
     report_path = os.path.join(args.root, "drill_report.json")
     if not args.keep:
-        for name in os.listdir(args.root):
+        # delete only what the drill created this run — never pre-existing
+        # user files that happened to share the scratch directory
+        for name in set(os.listdir(args.root)) - pre_existing:
             p = os.path.join(args.root, name)
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     with open(report_path, "w") as f:

@@ -183,6 +183,11 @@ class ImageNetDataset(_Dataset):
     def get_paths_labels(self):
         """(paths, labels, classes) — the eval.probes.list_imagefolder
         contract, so eval_dinov3 consumes this layout unchanged."""
+        if self.split == "test":
+            raise ValueError(
+                "ImageNet TEST split has no labels (image_net.py:118-120) — "
+                "probe against split=TRAIN or split=VAL"
+            )
         paths = [self.get_image_path(i) for i in range(len(self))]
         return paths, self.get_targets(), self.classes
 
@@ -275,8 +280,10 @@ class ImageNet22kDataset(_Dataset):
         m = self._mmaps.pop(class_id, None)
         if m is None:
             if len(self._mmaps) >= self._mmap_cache_size:
-                _, old = self._mmaps.popitem()
-                old.close()
+                # dict preserves insertion order and re-insert-on-access
+                # moves hits to the back, so the FRONT is least-recently-used
+                lru = next(iter(self._mmaps))
+                self._mmaps.pop(lru).close()
             with open(os.path.join(self.root, f"{class_id}.tar")) as f:
                 m = mmap(fileno=f.fileno(), length=0, access=ACCESS_READ)
         self._mmaps[class_id] = m  # re-insert: most-recently-used last

@@ -141,6 +141,13 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False,
                     (k.shape[0],) if k.ndim == 3 else (), jnp.int8
                 )
             return out
+        if act_quant and "kernel_q4" in node:
+            # an int4-stored kernel cannot serve w8a8 (the MXU path consumes
+            # int8 codes) — refuse rather than silently serving weight-only
+            raise ValueError(
+                "act_quant requested on an int4-quantized kernel: int4 is a "
+                "train-memory mode; requantize the float base at bits=8 for w8a8"
+            )
         kq = node.get("kernel_q")
         if kq is not None and act_quant and not excluded and "act_quant" not in node:
             # already weight-only quantized (e.g. a checkpoint quantized

@@ -299,3 +299,45 @@ def test_ssl_pretrain_e2e_on_in22k_tarballs(tmp_path):
     )
     out = run_pretraining(cfg)
     assert out is not None
+
+
+def test_imagenet22k_mmap_cache_is_lru(tmp_path):
+    """Re-insert-on-access + evict-front = true LRU: interleaving two hot
+    classes against a 2-deep cache must never evict each other, while a
+    third class evicts the stalest (regression: popitem() evicted MRU)."""
+    rng = np.random.default_rng(20)
+    root, _ = _make_imagenet22k(tmp_path, rng)
+    extra = str(tmp_path / "extra22k")
+    ds = ImageNet22kDataset(root=root, extra=extra, mmap_cache_size=2)
+    ds.dump_extra()
+    # indices 0,1 -> n00001; 2,3,4 -> n00002
+    ds.get_image_data(0)
+    m1 = ds._mmaps["n00001"]
+    ds.get_image_data(2)
+    m2 = ds._mmaps["n00002"]
+    for i in (0, 2, 1, 3):  # interleave the two hot classes
+        ds.get_image_data(i)
+    assert ds._mmaps["n00001"] is m1 and ds._mmaps["n00002"] is m2  # no churn
+    # a third class must evict the least-recently-used (n00001 after idx 3)
+    data = _png_bytes(rng)
+    with tarfile.open(os.path.join(root, "n00003.tar"), "w") as tf:
+        info = tarfile.TarInfo("n00003_0.JPEG")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    ds._tarball("n00003")
+    assert "n00001" not in ds._mmaps  # LRU gone
+    assert ds._mmaps["n00002"] is m2  # MRU retained
+    ds.close()
+
+
+def test_imagenet_test_split_has_no_labels(tmp_path):
+    rng = np.random.default_rng(21)
+    root = tmp_path / "in1k"
+    d = root / "test"
+    d.mkdir(parents=True)
+    (d / "ILSVRC2012_test_00000001.JPEG").write_bytes(_png_bytes(rng))
+    ds = ImageNetDataset(root=str(root), extra=str(tmp_path / "x"), split="test")
+    ds.dump_extra()
+    assert len(ds) == 1 and ds.get_target(0) is None
+    with pytest.raises(ValueError, match="no labels"):
+        ds.get_paths_labels()

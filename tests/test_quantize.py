@@ -469,3 +469,18 @@ class TestInt4:
                            jnp.zeros((5, 3)), latent_image_ids(4, 4))
         assert out.shape == (1, 16, 64)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_act_quant_on_int4_tree_raises(self):
+        """Upgrading an int4-stored tree to w8a8 must refuse loudly — the
+        MXU path consumes int8 codes, and silently serving weight-only is
+        the failure mode the marker machinery exists to prevent."""
+        import pytest
+
+        from omgsr_tpu.utils.quantize import quantize_tree_int4
+
+        rng = np.random.default_rng(17)
+        tree = {"to_q": {"kernel": jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)}}
+        t4 = quantize_tree_int4(tree, min_params=64)
+        assert "kernel_q4" in t4["to_q"]
+        with pytest.raises(ValueError, match="int4"):
+            quantize_tree_int8(t4, min_params=64, act_quant=True)
