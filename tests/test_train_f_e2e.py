@@ -130,3 +130,66 @@ def test_train_f_cli_e2e_int4_base(tmp_path):
         if p[-1] == "lora_B"
     )
     assert np.isfinite(b_max) and b_max > 0.0
+
+
+def test_train_s_cli_e2e_from_checkpoint_dir(tmp_path):
+    """The -S counterpart: build_frozen_s loads a fabricated HF-layout SD
+    dir through the porters, then the real loop runs one optimizer step
+    and exports the reference's -S adapter dir names
+    (infer/omgsr_s_infer_model.py:16-21)."""
+    from PIL import Image
+
+    from omgsr_tpu.cli.train_omgsr_s import run_training
+    from tests.test_e2e_cli import make_fake_sd_checkpoint
+
+    (tmp_path / "sd").mkdir()
+    ckpt = make_fake_sd_checkpoint(tmp_path / "sd")
+    data_dir = tmp_path / "hq"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (160, 160, 3), dtype=np.uint8), "RGB"
+        ).save(data_dir / f"{i}.png")
+    np.savez(
+        tmp_path / "prompt.npz",
+        prompt_embeds=rng.normal(size=(1, 7, 16)).astype(np.float32),
+    )
+
+    cfg = TrainConfig(
+        model="omgsr_s_512",
+        output_dir=str(tmp_path / "run"),
+        sd_path=str(ckpt),
+        dataset_txt_or_dir_paths=[str(data_dir)],
+        fixed_prompt_path=str(tmp_path / "prompt.npz"),
+        resolution=128,
+        mid_timestep=273,
+        train_batch_size=1,
+        gradient_accumulation_steps=2,
+        max_train_steps=1,
+        checkpointing_steps=1,
+        save_img_steps=1,
+        lr_warmup_steps=0,
+        learning_rate=1e-3,
+        mixed_precision="fp32",
+        vae_lora_rank=2,
+        unet_lora_rank=2,
+        dinov3_convnext_size="tiny",
+        seed=0,
+    )
+    trainer = run_training(cfg)
+
+    out = cfg.output_dir
+    assert os.path.exists(os.path.join(out, "cfg.yml"))
+    assert os.path.isdir(os.path.join(out, "checkpoints", "checkpoint-1"))
+    for name in ("vae_encoder_lora_adapter", "unet_lora_adapter"):
+        d = os.path.join(out, "weight-1", name)
+        assert os.path.isdir(d), (name, sorted(os.listdir(out)))
+    from omgsr_tpu.utils.tree import flatten_dict
+
+    b_max = max(
+        float(jnp.abs(v).max())
+        for p, v in flatten_dict(trainer.state["gen"]["lora"]).items()
+        if p[-1] == "lora_B"
+    )
+    assert np.isfinite(b_max) and b_max > 0.0
