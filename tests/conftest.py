@@ -26,3 +26,11 @@ jax.config.update("jax_platforms", "cpu")
 # (observed in test_ssl_pretrain_cli after test_e2e_cli primed the cache).
 # Keep the suite on in-process compilation only.
 os.environ["OMGSR_COMPILATION_CACHE"] = "0"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: full-architecture / multi-minute e2e drills "
+        "(deselect for quick loops: -m 'not heavy')",
+    )

@@ -8,6 +8,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 
 def test_sharded_safetensors_roundtrip(tmp_path):
@@ -55,11 +56,13 @@ def _run_drill(family, root):
     return report
 
 
+@pytest.mark.heavy
 def test_fire_drill_flux_full_depth(tmp_path):
     """FLUX at the published depth (19 dual + 38 single), reduced width."""
     _run_drill("flux", tmp_path / "flux")
 
 
+@pytest.mark.heavy
 def test_fire_drill_sd_full_architecture(tmp_path):
     """The FULL SD2.1 stack (83.7M VAE + 865.9M UNet, f32, sharded at 2 GB)
     through porter -> infer CLI -> eval_sr -> adapters -> torch parity."""

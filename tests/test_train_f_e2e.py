@@ -11,6 +11,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from safetensors.numpy import save_file
 
 from omgsr_tpu.config import TrainConfig
@@ -56,6 +57,7 @@ def _make_flux_checkpoint(root):
     return root
 
 
+@pytest.mark.heavy
 def test_train_f_cli_e2e_int4_base(tmp_path):
     from PIL import Image
 
@@ -132,6 +134,7 @@ def test_train_f_cli_e2e_int4_base(tmp_path):
     assert np.isfinite(b_max) and b_max > 0.0
 
 
+@pytest.mark.heavy
 def test_train_s_cli_e2e_from_checkpoint_dir(tmp_path):
     """The -S counterpart: build_frozen_s loads a fabricated HF-layout SD
     dir through the porters, then the real loop runs one optimizer step
