@@ -106,6 +106,11 @@ def run_batch(
             lq = np.concatenate([it[2] for it in items]).astype(dtype_np(dtype))
             t0 = time.perf_counter()
             out = infer_fn(lq, items[0][0])  # async dispatch, one device call
+            # backpressure: each pending future pins its batch's device
+            # output buffer — without a bound, a loader faster than the
+            # device/savers grows HBM+host memory with the backlog
+            while len(futures) > 4 * savers:
+                futures.pop(0).result()
             for j, (i, name, _, src01, resize_flag, orig, true_hw) in enumerate(items):
                 futures.append(
                     pool.submit(

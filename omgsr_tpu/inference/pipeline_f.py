@@ -158,7 +158,7 @@ class OMGSRFPipeline:
         )
         return jnp.clip(img, -1.0, 1.0)
 
-    def shard_for_mesh(self, mesh, min_size: int = 2**18, strategy: str = "fsdp"):
+    def shard_for_mesh(self, mesh, strategy: str = "fsdp", *, min_size: int = 2**18):
         """Shard the 12B DiT parameters over the mesh so -F inference fits
         small slices. strategy="fsdp": ZeRO-3 weight sharding (XLA inserts
         the gathers). strategy="tp": Megatron-style tensor parallelism over

@@ -15,12 +15,11 @@ the base weights at load time, so inference runs the plain architecture.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 
-from omgsr_tpu.diffusion.schedules import ddpm_alphas_cumprod
+from omgsr_tpu.diffusion.schedules import mid_timestep_coeffs_sd
 from omgsr_tpu.inference.tiled import tiled_denoise
 from omgsr_tpu.models import unet_sd, vae
 from omgsr_tpu.models.configs import SD21_UNET, SD21_VAE, UNetConfig, VAEConfig
@@ -63,9 +62,9 @@ class OMGSRSPipeline:
         self.tile_batch = tile_batch
         self.vae_tile = vae_tile
         self.vae_stats = vae_stats
-        alpha_t = float(ddpm_alphas_cumprod()[mid_timestep])
-        self.sqrt_alpha = math.sqrt(alpha_t)
-        self.sqrt_one_minus_alpha = math.sqrt(1.0 - alpha_t)
+        self.sqrt_alpha, self.sqrt_one_minus_alpha = mid_timestep_coeffs_sd(
+            mid_timestep
+        )
         self._rebuild_jit()
 
     def _rebuild_jit(self):

@@ -86,7 +86,9 @@ def tiled_denoise(
     valid = np.asarray([1.0] * n + [0.0] * pad, np.float32)
     n_total = n + pad
 
-    weights = jnp.asarray(gaussian_tile_weights(t, t), latent.dtype)[None, :, :, None]
+    # stitch in float32 like the reference (omgsr_s_infer_model.py:137-139):
+    # bf16 running sums round at ~2^-8/add, ~0.4% error in overlap regions
+    weights = jnp.asarray(gaussian_tile_weights(t, t), jnp.float32)[None, :, :, None]
 
     offs = jnp.asarray(offsets).reshape(n_total // tile_batch, tile_batch, 3)
     valid = jnp.asarray(valid).reshape(n_total // tile_batch, tile_batch)
@@ -102,14 +104,14 @@ def tiled_denoise(
         tiles = jax.vmap(gather)(off_b)  # (tb, t, t, C)
         preds = denoise_tile(tiles)
         (acc, contrib), _ = jax.lax.scan(
-            scatter, (acc, contrib), (preds, off_b, valid_b.astype(latent.dtype))
+            scatter, (acc, contrib), (preds, off_b, valid_b.astype(jnp.float32))
         )
         return (acc, contrib), None
 
-    acc = jnp.zeros_like(latent)
-    contrib = jnp.zeros_like(latent)
+    acc = jnp.zeros(latent.shape, jnp.float32)
+    contrib = jnp.zeros(latent.shape, jnp.float32)
     (acc, contrib), _ = jax.lax.scan(step, (acc, contrib), (offs, valid))
-    return acc / contrib
+    return (acc / contrib).astype(latent.dtype)
 
 
 def _make_scatter(weights, t, c):
@@ -120,7 +122,7 @@ def _make_scatter(weights, t, c):
     def scatter(carry, inp):
         acc, contrib = carry
         pred, off, vld = inp
-        wpred = (pred * weights[0] * vld)[None]
+        wpred = (pred.astype(jnp.float32) * weights[0] * vld)[None]
         wcon = (weights[0] * vld)[None]
         start = (off[0], off[1], off[2], 0)
         cur = jax.lax.dynamic_slice(acc, start, (1, t, t, c))
@@ -150,7 +152,7 @@ def _tile_sharded_denoise(latent, denoise_tile, t, grid, tile_sharding):
             n_shards *= mesh.shape[a]
     pad = (-n) % n_shards
     offsets = jnp.asarray(triples + [triples[-1]] * pad, jnp.int32)
-    valid = jnp.asarray([1.0] * n + [0.0] * pad, latent.dtype)
+    valid = jnp.asarray([1.0] * n + [0.0] * pad, jnp.float32)
 
     def gather(off):
         return jax.lax.dynamic_slice(latent, (off[0], off[1], off[2], 0), (1, t, t, c))[0]
@@ -161,10 +163,10 @@ def _tile_sharded_denoise(latent, denoise_tile, t, grid, tile_sharding):
     # replicate the (small) latent predictions for the sequential stitch
     preds = jax.lax.with_sharding_constraint(preds, NamedSharding(mesh, P()))
 
-    weights = jnp.asarray(gaussian_tile_weights(t, t), latent.dtype)[None, :, :, None]
+    weights = jnp.asarray(gaussian_tile_weights(t, t), jnp.float32)[None, :, :, None]
 
     scatter = _make_scatter(weights, t, c)
-    acc = jnp.zeros_like(latent)
-    contrib = jnp.zeros_like(latent)
+    acc = jnp.zeros(latent.shape, jnp.float32)
+    contrib = jnp.zeros(latent.shape, jnp.float32)
     (acc, contrib), _ = jax.lax.scan(scatter, (acc, contrib), (preds, offsets, valid))
-    return acc / contrib
+    return (acc / contrib).astype(latent.dtype)

@@ -41,6 +41,7 @@ Replaces the reference's vaehook.py task-queue machine (infer/vaehook.py:
 from __future__ import annotations
 
 import math
+import threading
 from functools import partial
 
 import jax
@@ -111,17 +112,26 @@ def _apply_gn(p, x, groups, mean, var, eps=1e-6):
     ).astype(orig)
 
 
+# vae_mod._GN_HOOK is process-global state consumed at TRACE time: two
+# threads tracing streamed VAE graphs concurrently (e.g. the serving
+# daemon's first requests at different shapes with --vae_tile) would
+# interleave collect/replay streams. One lock serializes hook scopes.
+_HOOK_LOCK = threading.RLock()
+
+
 class _use_hook:
     def __init__(self, hook):
         self.hook = hook
 
     def __enter__(self):
+        _HOOK_LOCK.acquire()
         self.prev = vae_mod._GN_HOOK
         vae_mod._GN_HOOK = self.hook
         return self.hook
 
     def __exit__(self, *a):
         vae_mod._GN_HOOK = self.prev
+        _HOOK_LOCK.release()
 
 
 # ----------------------------------------------------------------------------
@@ -137,9 +147,7 @@ def _net_encode(params, cfg, x, rng, sample, idx=None):
         # noise pattern across the streamed latent)
         rng = jax.random.fold_in(rng, idx)
     z = vae_mod.sample_diagonal_gaussian(moments, rng, sample=sample and rng is not None)
-    if cfg.shift_factor is not None:
-        return (z - cfg.shift_factor) * cfg.scaling_factor
-    return z * cfg.scaling_factor
+    return vae_mod.scale_latent(cfg, z)
 
 
 def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_den: int, est_size: int):
@@ -159,6 +167,13 @@ def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_de
     # low-passes away variance); the downsample still shifts the per-channel
     # moments, so renormalize them back to the full image's and clamp to the
     # full image's range (vaehook.py:723-731, the @Kahsolt correction).
+    win = tile + 2 * pad
+    if h <= win and w <= win:
+        # fits one window: whole-input execution costs the same activation
+        # memory as untiled, so skip the stats pass and replay hook — local
+        # GroupNorm stats ARE the global stats here (bit-exact with untiled)
+        return net(params, cfg, x)
+
     est_h = max(min(est_size, h) // 8 * 8, 8)
     est_w = max(min(est_size, w) // 8 * 8, 8)
     small = jax.image.resize(x, (b, est_h, est_w, c), "nearest")
@@ -176,12 +191,6 @@ def _streamed(params, cfg, x, net, tile: int, pad: int, scale_num: int, scale_de
     with _use_hook(collect):
         net(params, cfg, small)
     stats = tuple(collect.stats)
-
-    win = tile + 2 * pad
-    if h <= win and w <= win:
-        # too small to tile: run whole input with the global stats
-        with _use_hook(_ReplayHook(stats)):
-            return net(params, cfg, x)
 
     # encoder windows must stay phase-aligned with the stride-2 downsamplers:
     # align window starts (and tile offsets) to the total downscale factor

@@ -39,10 +39,9 @@ def validate_vae_opts(vae_tile, vae_stats: str, downscale: int) -> None:
 
 
 def _per_image(fn, x, rng):
-    """Apply fn(x_i, rng_i) per image and re-stack (rng folded per image so
-    batched sampling is not correlated across images)."""
-    if x.shape[0] == 1:
-        return fn(x, rng)
+    """Apply fn(x_i, rng_i) per image and re-stack. rng is folded per image
+    UNCONDITIONALLY (including batch 1) so an image's noise draw does not
+    depend on how requests were grouped into batches."""
     return jnp.concatenate(
         [fn(x[i : i + 1], jax.random.fold_in(rng, i)) for i in range(x.shape[0])],
         axis=0,
