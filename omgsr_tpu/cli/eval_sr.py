@@ -66,7 +66,43 @@ def pair_by_stem(sr_paths: list[str], gt_paths: list[str]):
     return pairs, missing
 
 
-def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False):
+def build_dists_fn(dinov3_weights_path=None, size: str = "large"):
+    """DISTS metric closure over a (ported or random) DINOv3-ConvNeXt
+    backbone — the same perceptual stack the training objective uses
+    (losses/dists.py ≙ dinov3_gan/dinov3_convnext_dists.py:79-108)."""
+    import jax
+
+    from omgsr_tpu.losses.dists import dists_loss, init_dists
+    from omgsr_tpu.models.configs import CONVNEXT_SIZES
+
+    cn_cfg = CONVNEXT_SIZES[size]
+    if dinov3_weights_path:
+        from omgsr_tpu.convert import port_dinov3_convnext
+
+        backbone = port_dinov3_convnext(dinov3_weights_path, cfg=cn_cfg)
+    else:
+        import logging
+
+        logging.getLogger("omgsr_tpu.eval_sr").warning(
+            "no --dinov3_weights_path — DISTS uses a random ConvNeXt backbone "
+            "(scores self-consistent, not comparable to published numbers)"
+        )
+        from omgsr_tpu.models.convnext import init_convnext
+
+        backbone = init_convnext(jax.random.key(0), cn_cfg)
+    bundle = init_dists(backbone, cn_cfg.dims)
+    loss = jax.jit(dists_loss)
+
+    def fn(a01, b01):
+        import jax.numpy as jnp
+
+        return float(loss(bundle, jnp.asarray(a01)[None] * 2 - 1, jnp.asarray(b01)[None] * 2 - 1))
+
+    return fn
+
+
+def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False,
+                   dists_fn=None, niqe_pristine=None):
     import jax
     import jax.numpy as jnp
 
@@ -86,12 +122,18 @@ def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False):
         if crop_border:
             a = a[crop_border:-crop_border, crop_border:-crop_border]
             b = b[crop_border:-crop_border, crop_border:-crop_border]
+        a_rgb, b_rgb = a, b
         if y_channel:
             a, b = _to_y(a), _to_y(b)
         p, s = both(jnp.asarray(a)[None], jnp.asarray(b)[None])
-        rows.append(
-            {"name": os.path.basename(sr_path), "psnr": float(p), "ssim": float(s)}
-        )
+        row = {"name": os.path.basename(sr_path), "psnr": float(p), "ssim": float(s)}
+        if dists_fn is not None:
+            row["dists"] = dists_fn(a_rgb, b_rgb)
+        if niqe_pristine is not None:
+            from omgsr_tpu.utils.niqe import niqe
+
+            row["niqe"] = niqe(a_rgb, niqe_pristine)
+        rows.append(row)
     return rows
 
 
@@ -108,6 +150,17 @@ def main(args=None):
                         help="evaluate on the BT.601 Y channel (SR-paper convention)")
     parser.add_argument("--output", type=str, default=None,
                         help="write per-image + summary metrics as JSON")
+    parser.add_argument("--dists", action="store_true",
+                        help="also report DISTS (DINOv3-ConvNeXt perceptual "
+                        "distance, lower=better; uses --dinov3_weights_path)")
+    parser.add_argument("--dinov3_weights_path", type=str, default=None,
+                        help="DINOv3 ConvNeXt .pth for DISTS (random backbone "
+                        "with a warning when absent)")
+    parser.add_argument("--dinov3_size", type=str, default="large")
+    parser.add_argument("--niqe_params", type=str, default=None,
+                        help="pristine-model .npz (keys mu/cov; build one with "
+                        "utils.niqe.fit_pristine) — enables the no-reference "
+                        "NIQE score (lower=better)")
     args = parser.parse_args(args)
 
     # metric math is trivial; run it on the host CPU backend so every
@@ -125,9 +178,24 @@ def main(args=None):
     if not pairs:
         raise SystemExit("no (SR, GT) pairs found")
 
-    rows = evaluate_pairs(pairs, args.crop_border, args.y_channel)
+    dists_fn = (
+        build_dists_fn(args.dinov3_weights_path, args.dinov3_size) if args.dists else None
+    )
+    niqe_pristine = None
+    if args.niqe_params:
+        from omgsr_tpu.utils.niqe import load_pristine
+
+        niqe_pristine = load_pristine(args.niqe_params)
+
+    rows = evaluate_pairs(pairs, args.crop_border, args.y_channel,
+                          dists_fn=dists_fn, niqe_pristine=niqe_pristine)
     for r in rows:
-        print(f"{r['name']:40s} PSNR {r['psnr']:7.3f}  SSIM {r['ssim']:.4f}")
+        line = f"{r['name']:40s} PSNR {r['psnr']:7.3f}  SSIM {r['ssim']:.4f}"
+        if "dists" in r:
+            line += f"  DISTS {r['dists']:.4f}"
+        if "niqe" in r:
+            line += f"  NIQE {r['niqe']:.3f}"
+        print(line)
     summary = {
         "n": len(rows),
         "psnr_mean": float(np.mean([r["psnr"] for r in rows])),
@@ -135,9 +203,14 @@ def main(args=None):
         "crop_border": args.crop_border,
         "y_channel": args.y_channel,
     }
+    for k in ("dists", "niqe"):
+        if rows and k in rows[0]:
+            summary[f"{k}_mean"] = float(np.mean([r[k] for r in rows]))
     print(
         f"mean over {summary['n']} images: PSNR {summary['psnr_mean']:.3f} "
         f"SSIM {summary['ssim_mean']:.4f}"
+        + (f" DISTS {summary['dists_mean']:.4f}" if "dists_mean" in summary else "")
+        + (f" NIQE {summary['niqe_mean']:.3f}" if "niqe_mean" in summary else "")
     )
     if args.output:
         with open(args.output, "w") as f:

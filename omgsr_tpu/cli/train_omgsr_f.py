@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from omgsr_tpu.config import TrainConfig, load_config, save_config
-from omgsr_tpu.cli.train_omgsr_s import save_triptych
+from omgsr_tpu.cli.train_omgsr_s import append_metrics_jsonl, save_triptych
 
 logger = logging.getLogger("omgsr_tpu.train_f")
 
@@ -173,6 +173,7 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
 
     global_step = start_step
     t0 = time.time()
+    metrics_jsonl = cfg.extra.get("metrics_jsonl")
     # reference -F adapter names: train/train_omgsr_f.py:150,176
     adapter_names = {"vae_encoder": "vae_encoder_adapter", "denoiser": "flux_adapter"}
     while global_step < (cfg.max_train_steps or 0):
@@ -183,6 +184,11 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None):
             micro_step += 1
             if micro_step % cfg.gradient_accumulation_steps == 0:
                 global_step += 1
+                if metrics_jsonl:
+                    append_metrics_jsonl(
+                        metrics_jsonl, global_step, metrics,
+                        (time.time() - t0) / max(global_step - start_step, 1),
+                    )
                 if global_step % 10 == 0:
                     logger.info(
                         "step %d | %s | %.2f s/it",

@@ -82,6 +82,18 @@ def save_triptych(path, lq, pred, hq):
     array01_to_pil(np.concatenate(rows, axis=0)).save(path)
 
 
+def append_metrics_jsonl(path, global_step, metrics, s_per_step):
+    """One JSON line per optimizer step (opt-in via cfg.extra
+    metrics_jsonl=path). The soak harness (tools/soak_train.py) reads this
+    to verify loss trajectories, GAN balance, and resume continuity."""
+    import json
+
+    rec = {"step": global_step, "s_per_step": round(s_per_step, 4), "time": time.time()}
+    rec.update({k: float(v) for k, v in jax.device_get(metrics).items()})
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="omgsr_tpu/configs/omgsr_s_512.yml")
@@ -185,6 +197,7 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None, t
 
     global_step = start_step
     t0 = time.time()
+    metrics_jsonl = cfg.extra.get("metrics_jsonl")
     adapter_names = {"vae_encoder": "vae_encoder_lora_adapter", "denoiser": "unet_lora_adapter"}
     while global_step < (cfg.max_train_steps or 0):
         for batch in loader:
@@ -194,6 +207,11 @@ def run_training(cfg: TrainConfig, frozen=None, loader=None, disc_bundle=None, t
             micro_step += 1
             if micro_step % cfg.gradient_accumulation_steps == 0:
                 global_step += 1
+                if metrics_jsonl:
+                    append_metrics_jsonl(
+                        metrics_jsonl, global_step, metrics,
+                        (time.time() - t0) / max(global_step - start_step, 1),
+                    )
                 if global_step % 10 == 0:
                     logger.info(
                         "step %d | %s | %.2f s/it",

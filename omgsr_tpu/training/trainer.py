@@ -215,6 +215,11 @@ class BaseTrainer:
         metrics = {"loss_total_G": g_total, "loss_total_D": d_total}
         metrics.update(g_metrics)
         metrics.update(d_metrics)
+        # pre-clip global grad norms — the soak/observability signal for GAN
+        # balance (the reference only eyeballs tqdm loss postfixes,
+        # train/train_omgsr_s.py:520-528)
+        metrics["grad_norm_G"] = optax.global_norm(g_grads)
+        metrics["grad_norm_D"] = optax.global_norm(d_grads)
         return new_state, (metrics, pred)
 
     def train_step(self, batch, rng):
