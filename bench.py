@@ -204,6 +204,22 @@ def main():
 
         t = _timed(sr, lambda: fresh((1, 256, 256, 3)), fence, iters=3)
 
+        # sustained-throughput companion (r4 VERDICT #5): stream K images
+        # through the compiled graph back-to-back WITHOUT fetching between
+        # dispatches (the batch_runner/serving pattern) and fence once at the
+        # end — async dispatch overlaps per-image host/transfer overhead with
+        # device compute, so imgs/s exceeds 1/p50 by exactly the overhead
+        # that the serial per-image protocol pays. Inputs pre-staged.
+        K = 6
+        ins = [jax.block_until_ready(fresh((1, 256, 256, 3))) for _ in range(K)]
+        t0 = time.perf_counter()
+        outs = [sr(x) for x in ins]
+        for o in outs:
+            fence(o)
+        extras["omgsr_f_1024_12b_pipelined_imgs_per_s"] = round(
+            K / (time.perf_counter() - t0), 4
+        )
+
         # opt-in, while the 12B is staged: the 512->2048 x4 long-context
         # protocol (9 latent-128 tiles per the reference geometry,
         # streaming tiled VAE)
@@ -709,13 +725,13 @@ def main():
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        bf16 = mod.probe(
-            "bf16xbf16->f32", 4608, 3072, 3072, 32, 3,
-            jnp.bfloat16, jnp.bfloat16, jnp.float32,
-        )
-        s8 = mod.probe("s8xs8->s32", 4608, 3072, 3072, 32, 3, "int8", "int8", jnp.int32)
-        extras["int8_matmul_top_per_s"] = round(s8, 1)
-        return s8 / bf16
+        # interleaved paired rounds: tunnel drift cancels in the per-round
+        # ratio (r4's sequential-block probe recorded an 87.5 TOP/s outlier)
+        res = mod.probe_interleaved(4608, 3072, 3072, 32, 5)
+        extras["int8_matmul_top_per_s"] = res["int8_top_per_s_median"]
+        extras["int8_matmul_top_per_s_max"] = res["int8_top_per_s_max"]
+        extras["int8_path_opened"] = res["int8_path_opened"]
+        return res["int8_over_bf16_median"]
 
     _section("int8_bf16_matmul_ratio", extras, primary, run_int8_probe)
 

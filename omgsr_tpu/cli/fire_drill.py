@@ -296,12 +296,27 @@ def run_drill(args) -> dict:
     report["stages"]["port_and_infer_s"] = round(time.time() - t0, 1)
 
     # ---- 3. eval_sr scores outputs vs GT ------------------------------------
+    # full metric protocol: PSNR/SSIM + DISTS (tiny random backbone — the
+    # drill fabricates no DINOv3 weights; exercises the metric path) + NIQE
+    # against a pristine model fitted on the drill's own GT images
     t0 = time.time()
+    from PIL import Image as _Image
+
     from omgsr_tpu.cli.eval_sr import main as eval_main
+    from omgsr_tpu.utils.niqe import fit_pristine, save_pristine
+
+    gt_imgs = [
+        np.asarray(_Image.open(os.path.join(paths["gt_dir"], f)).convert("RGB"),
+                   np.float64) / 255.0
+        for f in sorted(os.listdir(paths["gt_dir"]))
+    ]
+    niqe_path = os.path.join(args.root, "niqe_pristine.npz")
+    save_pristine(niqe_path, fit_pristine(gt_imgs))
 
     metrics_path = os.path.join(args.root, "sr_metrics.json")
     eval_main([
         "--sr_dir", out_dir, "--gt_dir", paths["gt_dir"],
+        "--dists", "--dinov3_size", "tiny", "--niqe_params", niqe_path,
         "--output", metrics_path,
     ])
     with open(metrics_path) as f:

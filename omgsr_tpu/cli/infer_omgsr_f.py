@@ -39,7 +39,7 @@ def build_pipeline(args, dtype):
     # (11.9 GB) is placed on device by quantize_flux_for_serving
     stage_ctx = (
         jax.default_device(jax.devices("cpu")[0])
-        if args.quantize.startswith("int8")
+        if args.quantize.startswith("int")
         else contextlib.nullcontext()
     )
     with stage_ctx:
@@ -53,11 +53,14 @@ def build_pipeline(args, dtype):
         vae_ad = os.path.join(args.lora_path, "vae_encoder_adapter")
         if os.path.isdir(vae_ad):
             vae_params["encoder"] = merge_lora(vae_params["encoder"], load_adapter_dir(vae_ad))
-    if args.quantize.startswith("int8"):
+    if args.quantize.startswith("int"):
         from omgsr_tpu.utils.quantize import quantize_flux_for_serving
 
         flux_params = quantize_flux_for_serving(
-            flux_params, act_quant=args.quantize == "int8_w8a8"
+            flux_params,
+            act_quant=args.quantize == "int8_w8a8",
+            bits=4 if args.quantize == "int4" else 8,
+            min_params=args.quantize_min_params,
         )
     pipe = OMGSRFPipeline(
         vae_params,
@@ -134,10 +137,19 @@ def parse_args(argv=None):
     parser.add_argument("--mid_timestep", type=int, default=244)
     parser.add_argument("--guidance_scale", type=float, default=1.0)
     parser.add_argument("--quantize", type=str, default="none",
-                        choices=["none", "int8", "int8_w8a8"],
+                        choices=["none", "int8", "int8_w8a8", "int4"],
                         help="int8: weight-only DiT compression (12B fits one 16 GB "
                              "chip); int8_w8a8: additionally run block matmuls "
-                             "s8xs8->s32 on the MXU (per-token activation quant)")
+                             "s8xs8->s32 on the MXU (per-token activation quant); "
+                             "int4: group-wise (g=128) nibble-packed storage at "
+                             "~5.95 GB — the minimum-memory mode; quality bound "
+                             "per tools/probe_int4_quality.py, prefer int8 when "
+                             "HBM allows")
+    parser.add_argument("--quantize_min_params", type=int, default=1 << 16,
+                        help="only dense kernels with at least this many elements "
+                             "are quantized (small layers stay full precision); "
+                             "lowered in tests to exercise quantization on tiny "
+                             "configs")
     parser.add_argument("--vae_tile", type=int, default=None,
                         help="tile the VAE beyond this many pixels (vaehook equivalent; for 2K+ outputs)")
     parser.add_argument("--vae_stats", type=str, default="fast", choices=["fast", "exact", "auto"],

@@ -138,6 +138,7 @@ def build_server(args) -> SRServer:
         a minutes-long 12B restage."""
         import copy
         import gc
+        import time
 
         req = json.loads(body or b"{}")
         allowed = {"lora_path", "mid_timestep", "guidance_scale"}
@@ -164,9 +165,31 @@ def build_server(args) -> SRServer:
                 server.swap_infer_fn(*_make_infer_fn(new_args, dtype))
             except Exception:
                 # device memory was freed; restore a working model from the
-                # still-committed args rather than serving the raising stub
+                # still-committed args rather than serving the raising stub.
+                # The restore itself can fail transiently (remote-compile
+                # hiccup) — retry with backoff instead of leaving the server
+                # permanently on the 'rebuilding' stub with no way out
                 gc.collect()  # drop any partially-built device buffers first
-                server.swap_infer_fn(*_make_infer_fn(args, dtype))
+                restore_err = None
+                for attempt in range(3):
+                    try:
+                        server.swap_infer_fn(*_make_infer_fn(args, dtype))
+                        restore_err = None
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        restore_err = e
+                        gc.collect()
+                        time.sleep(2.0 * (attempt + 1))
+                if restore_err is not None:
+                    # fatal: make the stub say so explicitly so clients stop
+                    # retrying and the operator restarts the process
+                    def fatal(lq, i, _e=restore_err):
+                        raise RuntimeError(
+                            f"model reload failed and restore failed ({_e}); "
+                            "server requires restart"
+                        )
+
+                    server.swap_infer_fn(fatal)
                 raise
             args.__dict__.update(new_args.__dict__)  # commit on success only
         return {"status": "reloaded", **{k: req[k] for k in req}}
@@ -220,8 +243,10 @@ def parse_args(argv=None):
                         help="default 273 for -s, 244 for -f")
     parser.add_argument("--guidance_scale", type=float, default=1.0)
     parser.add_argument("--quantize", type=str, default="none",
-                        choices=["none", "int8", "int8_w8a8"],
-                        help="int8 DiT serving (pipeline=f; 12B fits one 16 GB v5e)")
+                        choices=["none", "int8", "int8_w8a8", "int4"],
+                        help="int8 DiT serving (pipeline=f; 12B fits one 16 GB "
+                        "v5e); int4: group-wise minimum-memory mode (~5.95 GB "
+                        "— prefer int8 when HBM allows)")
     parser.add_argument("--color_fix_dispatch", type=str, default="fused",
                         choices=["fused", "split"],
                         help="fused: color fix inside the SR graph (one "

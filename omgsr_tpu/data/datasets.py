@@ -35,6 +35,7 @@ from __future__ import annotations
 import csv
 import json
 import os
+import threading
 import zlib
 from io import BytesIO
 from mmap import ACCESS_READ, mmap
@@ -260,6 +261,9 @@ class ImageNet22kDataset(_Dataset):
         self._class_ids: Optional[np.ndarray] = None
         self._mmaps: dict = {}
         self._mmap_cache_size = mmap_cache_size
+        # threaded readers (eval feature-extraction loops) share the LRU:
+        # eviction must not close an mmap another thread is mid-slice on
+        self._mmap_lock = threading.Lock()
 
     @property
     def entries(self) -> np.ndarray:
@@ -275,26 +279,29 @@ class ImageNet22kDataset(_Dataset):
             self._class_ids = np.load(os.path.join(self.extra, "class-ids.npy"))
         return self._class_ids
 
-    def _tarball(self, class_id: str) -> mmap:
-        """lru-style bounded mmap cache (_make_mmap_tarball:57-66)."""
-        m = self._mmaps.pop(class_id, None)
-        if m is None:
-            if len(self._mmaps) >= self._mmap_cache_size:
-                # dict preserves insertion order and re-insert-on-access
-                # moves hits to the back, so the FRONT is least-recently-used
-                lru = next(iter(self._mmaps))
-                self._mmaps.pop(lru).close()
-            with open(os.path.join(self.root, f"{class_id}.tar")) as f:
-                m = mmap(fileno=f.fileno(), length=0, access=ACCESS_READ)
-        self._mmaps[class_id] = m  # re-insert: most-recently-used last
-        return m
+    def _read_member(self, class_id: str, start: int, end: int) -> bytes:
+        """Bounded-LRU mmap cache read (_make_mmap_tarball:57-66). The copy
+        out of the mmap happens UNDER the lock so a concurrent reader's
+        eviction can never close a map mid-slice."""
+        with self._mmap_lock:
+            m = self._mmaps.pop(class_id, None)
+            if m is None:
+                if len(self._mmaps) >= self._mmap_cache_size:
+                    # dict preserves insertion order and re-insert-on-access
+                    # moves hits to the back, so the FRONT is least-recently-used
+                    lru = next(iter(self._mmaps))
+                    self._mmaps.pop(lru).close()
+                with open(os.path.join(self.root, f"{class_id}.tar")) as f:
+                    m = mmap(fileno=f.fileno(), length=0, access=ACCESS_READ)
+            self._mmaps[class_id] = m  # re-insert: most-recently-used last
+            return bytes(m[start:end])
 
     def get_image_data(self, index: int) -> bytes:
         entry = self.entries[index]
-        data = bytes(
-            self._tarball(str(entry["class_id"]))[
-                int(entry["start_offset"]) + _TAR_BLOCK : int(entry["end_offset"])
-            ]
+        data = self._read_member(
+            str(entry["class_id"]),
+            int(entry["start_offset"]) + _TAR_BLOCK,
+            int(entry["end_offset"]),
         )
         if len(data) >= 2 and data[:2] == b"\x1f\x8b":
             # single-member gzip inflate that tolerates the tar block
@@ -353,8 +360,10 @@ class ImageNet22kDataset(_Dataset):
             [
                 ("class_index", "<u4"),
                 ("class_id", f"U{max_id}"),
-                ("start_offset", "<u4"),
-                ("end_offset", "<u4"),
+                # u8: per-class tarballs can exceed 4 GiB — u4 would silently
+                # wrap offsets into corrupt member reads
+                ("start_offset", "<u8"),
+                ("end_offset", "<u8"),
                 ("filename", f"U{max_fn}"),
             ]
         )
@@ -364,9 +373,10 @@ class ImageNet22kDataset(_Dataset):
         self._entries = self._class_ids = None
 
     def close(self) -> None:
-        for m in self._mmaps.values():
-            m.close()
-        self._mmaps.clear()
+        with self._mmap_lock:
+            for m in self._mmaps.values():
+                m.close()
+            self._mmaps.clear()
 
 
 # ---------------------------------------------------------------------------

@@ -126,7 +126,15 @@ def _flux_tp_spec(keys: tuple, shape: tuple):
     if leaf in ("bias", "kernel_scale"):
         # row-parallel bias is added once post-collective; int8 per-out
         # -channel scales (utils.quantize) have no "in" dim — every shard
-        # dequantizes with the full scale vector
+        # dequantizes with the full scale vector. Group-wise int4 scales
+        # (…, in/g, out) DO carry the in dim (one extra axis vs per-channel:
+        # (out,)->(G,out) plain, (L,out)->(L,G,out) stacked) and must shard
+        # with the kernel's in rows so each shard dequantizes its slice.
+        per_channel_nd = 2 if "stacked" in ks else 1
+        if leaf == "kernel_scale" and nd == per_channel_nd + 1:
+            spec = [None] * nd
+            spec[-2] = "tp"
+            return P(*spec)
         return P()
     spec = [None] * nd
     spec[-2] = "tp"  # kernel (.., in, out): shard the in dim

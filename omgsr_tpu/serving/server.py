@@ -63,6 +63,11 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     result: object = None  # device array slice (1, H, W, 3) when done
     error: Exception | None = None
+    # which path the dispatcher ACTUALLY ran (set in _dispatch_group). The
+    # handler must postprocess based on this, not on a submit-time snapshot:
+    # a swap_infer_fn between submit and dispatch would otherwise make the
+    # handler treat an un-color-fixed [-1,1] canvas as already-[0,1]
+    fused_used: bool = False
 
 
 class SRServer:
@@ -169,16 +174,19 @@ class SRServer:
     def _dispatch_group(self, group):
         opts = self.opts
         n = len(group)
+        # read BOTH fns once: a concurrent swap_infer_fn must not be observed
+        # half-way (dtype chosen for one path, dispatch taking the other)
+        fused_fn, plain_fn = self.fused_infer_fn, self.infer_fn
         # pad to the fixed batch so each bucket compiles exactly once. The
         # fused graph takes float32 (color-fix statistics at CLI precision)
         # and downcasts to the model dtype inside the graph.
         b = opts.max_batch if opts.max_batch > 1 else 1
         lq = np.concatenate([r.lq for r in group] + [group[-1].lq] * (b - n)).astype(
-            np.float32 if self.fused_infer_fn is not None else self.np_dtype
+            np.float32 if fused_fn is not None else self.np_dtype
         )
         with self._dispatch_busy:
             try:
-                if self.fused_infer_fn is not None:
+                if fused_fn is not None:
                     from omgsr_tpu.ops.color import ALIGN_IDX
 
                     pad = [group[-1]] * (b - n)
@@ -188,11 +196,12 @@ class SRServer:
                     align = np.asarray(
                         [ALIGN_IDX[r.align] for r in group + pad], np.int32
                     )
-                    out = self.fused_infer_fn(lq, group[0].index, hw, align)
+                    out = fused_fn(lq, group[0].index, hw, align)
                 else:
-                    out = self.infer_fn(lq, group[0].index)  # async device dispatch
+                    out = plain_fn(lq, group[0].index)  # async device dispatch
                 for j, r in enumerate(group):
                     r.result = out[j : j + 1]
+                    r.fused_used = fused_fn is not None
             except Exception as e:  # noqa: BLE001 — a device/model fault, not bad input
                 for r in group:
                     r.error = DispatchError(f"{type(e).__name__}: {e}")
@@ -226,7 +235,6 @@ class SRServer:
             self._seq += 1
             req = _Request(lq=lq, index=self._seq, true_hw=true_hw, align=method)
         try:
-            fused = self.fused_infer_fn is not None
             self._queue.put(req)
             if not req.done.wait(timeout=opts.request_timeout_s):
                 raise RequestTimeout(
@@ -235,6 +243,7 @@ class SRServer:
                 )
             if req.error is not None:
                 raise req.error
+            fused = req.fused_used  # the path the dispatcher ACTUALLY ran
             out_pil = postprocess_sr_output(
                 req.result, src01, true_hw,
                 None if fused else self._fix.get(method),

@@ -35,23 +35,48 @@ def quantize_kernel_int8(w):
     return q, scale
 
 
-def quantize_kernel_int4(w):
-    """(…, in, out) float kernel -> (uint8 kernel_q4 nibble-packed along the
-    in axis, f32 per-out-channel scale).
+# default in-dim group size for int4. The win over per-output-channel
+# scales depends on the weight distribution (MEASURED via
+# tools/probe_int4_quality.py --weights …, full-width FLUX blocks, forward
+# rel deviation): ~equal on kaiming-UNIFORM random init (absmax saturates
+# within any 128-sample group: 16.96% vs 16.73%), 1.25x on gaussian
+# (27.6% vs 34.6%; g=64: 25.4%), 1.28x/2.05x at g=128/g=64 on heavy-tailed
+# outlier input rows (98.6%/61.6% vs 125.9%) — the regime real trained
+# checkpoints live in (GPTQ/AWQ-style g=128 is standard for it). Cost is
+# f32 scales / (g·int4) = +6% bytes at g=128 — group-wise is never
+# meaningfully worse, so it is the default; re-probe on real weights the
+# day they mount. int4 remains a documented lower-fidelity memory mode:
+# int8 (0.88-2.0% dev) is the serving-quality storage.
+INT4_GROUP_SIZE = 128
 
-    4-bit symmetric per-output-channel storage (scale = absmax/7, codes in
-    [-7, 7] stored offset-8): HALVES the int8 footprint again — the 11.9 GB
-    int8 frozen 12B DiT becomes ~5.95 GB, the margin that fits the -F
-    LoRA-GAN train step (measured ~20.3 GB with an int8 base vs 15.75 GB
-    HBM) on ONE v5e. Storage-only: dequantize_kernel unpacks per scan block
-    to the compute dtype, so the matmul stays bf16 on the MXU. Requires an
-    even in dim (two codes per byte)."""
+
+def quantize_kernel_int4(w, group_size: int | None = INT4_GROUP_SIZE):
+    """(…, in, out) float kernel -> (uint8 kernel_q4 nibble-packed along the
+    in axis, f32 scale — per-(in-group, out-channel) of shape (…, in/g, out)
+    when `group_size` divides in, else per-out-channel (…, out)).
+
+    4-bit symmetric storage (scale = group absmax/7, codes in [-7, 7] stored
+    offset-8): HALVES the int8 footprint again — the 11.9 GB int8 frozen 12B
+    DiT becomes ~5.95 GB, the margin that fits the -F LoRA-GAN train step
+    (measured ~20.3 GB with an int8 base vs 15.75 GB HBM) on ONE v5e.
+    Storage-only: dequantize_kernel unpacks per scan block to the compute
+    dtype, so the matmul stays bf16 on the MXU. Requires an even in dim
+    (two codes per byte). Capability ≙ the vendored low-precision linear
+    (dinov3/layers/fp8_linear.py), re-targeted at what the v5e lacks (fp8)."""
     w32 = jnp.asarray(w, jnp.float32)
-    if w32.shape[-2] % 2:
+    in_dim = w32.shape[-2]
+    if in_dim % 2:
         raise ValueError(f"int4 packing needs an even in dim, got {w32.shape}")
-    scale = jnp.max(jnp.abs(w32), axis=-2) / 7.0  # (…, out)
-    scale = jnp.maximum(scale, 1e-12)
-    q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -7, 7) + 8.0  # [1, 15]
+    lead, out = w32.shape[:-2], w32.shape[-1]
+    if group_size and in_dim % group_size == 0 and in_dim > group_size:
+        g = group_size
+        wg = w32.reshape(*lead, in_dim // g, g, out)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-12)  # (…, in/g, out)
+        q = jnp.clip(jnp.round(wg / scale[..., None, :]), -7, 7) + 8.0
+        q = q.reshape(*lead, in_dim, out)
+    else:
+        scale = jnp.maximum(jnp.max(jnp.abs(w32), axis=-2) / 7.0, 1e-12)  # (…, out)
+        q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -7, 7) + 8.0  # [1, 15]
     q = q.astype(jnp.uint8)
     packed = q[..., 0::2, :] | (q[..., 1::2, :] << 4)
     return packed, scale
@@ -77,7 +102,17 @@ def dequantize_kernel(p, dtype):
         w = unpack_int4(p["kernel_q4"]).astype(jnp.float32)
     else:
         w = p["kernel_q"].astype(jnp.float32)
-    return (w * p["kernel_scale"][..., None, :]).astype(dtype)
+    scale = p["kernel_scale"]
+    if scale.ndim == w.ndim:
+        # group-wise (…, in/g, out): broadcast each group scale over its g
+        # in-rows; XLA fuses the reshape/mul into the dequant like the
+        # per-channel case (no extra materialization under scan)
+        lead, out = w.shape[:-2], w.shape[-1]
+        groups = scale.shape[-2]
+        wg = w.reshape(*lead, groups, w.shape[-2] // groups, out)
+        w = (wg * scale[..., None, :]).reshape(*lead, w.shape[-2], out)
+        return w.astype(dtype)
+    return (w * scale[..., None, :]).astype(dtype)
 
 
 # Subtrees whose dense layers keep weight-only dequantization even under
@@ -89,7 +124,8 @@ W8A8_EXCLUDE = frozenset(
 )
 
 
-def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False, bits: int = 8):
+def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False, bits: int = 8,
+                       group_size: int | None = INT4_GROUP_SIZE):
     """Replace every dense kernel (2-D, or 3-D scan-stacked) with at least
     `min_params` elements by int8 + scale. Conv kernels (4-D), norms, biases,
     embeddings and LoRA factors stay in their original dtype. Returns a new
@@ -124,7 +160,11 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False,
             and jnp.issubdtype(jnp.asarray(k).dtype, jnp.floating)
         ):
             q4 = bits == 4 and k.shape[-2] % 2 == 0
-            q, scale = (quantize_kernel_int4 if q4 else quantize_kernel_int8)(k)
+            q, scale = (
+                quantize_kernel_int4(k, group_size=group_size)
+                if q4
+                else quantize_kernel_int8(k)
+            )
             # recurse into the sibling values too (nested sub-dicts sharing a
             # level with a large kernel must not silently stay unquantized)
             out = {
@@ -167,10 +207,11 @@ def quantize_tree_int8(tree, min_params: int = 1 << 16, act_quant: bool = False,
     return rec(tree, False)
 
 
-def quantize_tree_int4(tree, min_params: int = 1 << 16):
-    """quantize_tree_int8 at bits=4: nibble-packed weight-only storage for
-    frozen bases under training (the -F 12B single-chip fit)."""
-    return quantize_tree_int8(tree, min_params=min_params, bits=4)
+def quantize_tree_int4(tree, min_params: int = 1 << 16, group_size: int | None = INT4_GROUP_SIZE):
+    """quantize_tree_int8 at bits=4: nibble-packed weight-only storage with
+    per-in-group scales for frozen bases under training (the -F 12B
+    single-chip fit) and the documented int4 serving memory mode."""
+    return quantize_tree_int8(tree, min_params=min_params, bits=4, group_size=group_size)
 
 
 def tree_bytes(tree) -> int:
@@ -178,7 +219,8 @@ def tree_bytes(tree) -> int:
 
 
 def quantize_flux_for_serving(
-    flux_params, act_quant: bool = False, bits: int = 8, min_params: int = 1 << 16
+    flux_params, act_quant: bool = False, bits: int = 8, min_params: int = 1 << 16,
+    group_size: int | None = INT4_GROUP_SIZE,
 ):
     """Stack-then-quantize a (ported, LoRA-merged) FLUX tree on the host CPU
     backend and place only the int8 result on the default device — the
@@ -192,7 +234,8 @@ def quantize_flux_for_serving(
         if "stacked" not in flux_params.get("transformer_blocks", {}):
             flux_params = flux_mod.stack_block_params(flux_params)
         flux_params = quantize_tree_int8(
-            flux_params, min_params=min_params, act_quant=act_quant, bits=bits
+            flux_params, min_params=min_params, act_quant=act_quant, bits=bits,
+            group_size=group_size,
         )
     dev = jax.devices()[0]
     return jax.tree.map(lambda x: jax.device_put(x, dev), flux_params)
@@ -201,6 +244,7 @@ def quantize_flux_for_serving(
 def init_flux_int8(
     key, cfg, block_dtype=jnp.bfloat16, repeat_blocks: bool = False,
     act_quant: bool = False, bits: int = 8, min_params: int = 1 << 16,
+    group_size: int | None = INT4_GROUP_SIZE,
 ):
     """Initialize a FLUX param tree directly in int8-compressed form without
     ever materializing the full bf16 tree on the accelerator: blocks are
@@ -221,7 +265,8 @@ def init_flux_int8(
         with jax.default_device(cpu):
             params = flux_mod.init_flux(key, cfg, dtype=block_dtype)
         return quantize_flux_for_serving(
-            params, act_quant=act_quant, bits=bits, min_params=min_params
+            params, act_quant=act_quant, bits=bits, min_params=min_params,
+            group_size=group_size,
         )
 
     with jax.default_device(cpu):
@@ -230,7 +275,8 @@ def init_flux_int8(
         )
         one = flux_mod.stack_block_params(one)
         one = quantize_tree_int8(
-            one, min_params=min_params, act_quant=act_quant, bits=bits
+            one, min_params=min_params, act_quant=act_quant, bits=bits,
+            group_size=group_size,
         )
 
     # Ship ONE block's leaves (~0.2 GB int8 at 12B) and replicate across the

@@ -324,7 +324,7 @@ def test_imagenet22k_mmap_cache_is_lru(tmp_path):
         info = tarfile.TarInfo("n00003_0.JPEG")
         info.size = len(data)
         tf.addfile(info, io.BytesIO(data))
-    ds._tarball("n00003")
+    ds._read_member("n00003", 0, 1)
     assert "n00001" not in ds._mmaps  # LRU gone
     assert ds._mmaps["n00002"] is m2  # MRU retained
     ds.close()

@@ -187,6 +187,29 @@ def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):
     ).mean()
     assert diff_w < 20.0  # act quant adds ~sqrt(2)x rounding over weight-only
 
+    # --quantize int4: the group-wise nibble-packed minimum-memory mode
+    # end-to-end (documented as lower fidelity than int8 — bound is looser)
+    out_dir_4 = tmp_path / "out_f_int4"
+    args_4 = parse_args(
+        [
+            "--input_image", str(input_images / "small.png"),
+            "--output_dir", str(out_dir_4),
+            "--flux_path", str(root),
+            "--prompt_npz", str(input_images / "prompt_f.npz"),
+            "--process_size", "64", "--upscale", "4",
+            "--align_method", "adain", "--weight_dtype", "fp32",
+            "--quantize", "int4", "--quantize_min_params", "1",
+        ]
+    )
+    main(args_4)
+    out_4 = Image.open(out_dir_4 / "small.png")
+    assert out_4.size == (64, 96)
+    diff_4 = np.abs(
+        np.asarray(out_4).astype(np.float32) - np.asarray(out).astype(np.float32)
+    ).mean()
+    assert diff_4 < 48.0  # int4's 7-code grid: documented quality tradeoff
+    assert diff_4 > 0.0  # actually quantized, not silently full-precision
+
 
 def test_infer_omgsr_s_cli_shard_tiles(sd_checkpoint, input_images, tmp_path):
     """--shard tiles: the CLI builds a {data: n_devices} mesh, replicates

@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--tokens", type=int, default=1024)
     p.add_argument("--txt_tokens", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--weights", choices=["uniform", "normal", "heavytail"],
+                   default="uniform",
+                   help="weight statistics: uniform = raw kaiming init (absmax "
+                   "saturates per group, so group scales buy ~nothing); normal / "
+                   "heavytail (2%% of in-rows x8) approximate trained-checkpoint "
+                   "regimes where group-wise int4 wins")
     args = p.parse_args(argv)
 
     if os.environ.get("OMGSR_PROBE_CPU") == "1":
@@ -54,8 +60,32 @@ def main(argv=None):
         params = F.stack_block_params(
             F.init_flux(jax.random.key(args.seed), cfg, dtype=jnp.float32)
         )
+        if args.weights != "uniform":
+            # redraw every quantizable dense kernel with the requested
+            # statistics (std matched to the kaiming init's) — the uniform
+            # init's absmax saturates inside any 128-sample group, hiding
+            # the group-scale benefit real trained weights exhibit
+            wrng = np.random.default_rng(args.seed + 1)
+
+            def redraw(path, leaf):
+                is_kernel = any(
+                    getattr(k, "key", None) == "kernel" for k in path[-1:]
+                )
+                if not (is_kernel and leaf.ndim in (2, 3) and leaf.size >= 1 << 16):
+                    return leaf
+                std = float(np.asarray(leaf, np.float64).std())
+                w = wrng.normal(0.0, std, leaf.shape)
+                if args.weights == "heavytail":
+                    n_in = leaf.shape[-2]
+                    rows = wrng.choice(n_in, size=max(n_in // 50, 1), replace=False)
+                    w[..., rows, :] *= 8.0  # outlier input channels
+                return jnp.asarray(w, jnp.float32)
+
+            params = jax.tree_util.tree_map_with_path(redraw, params)
         p8 = quantize_tree_int8(params)
-        p4 = quantize_tree_int8(params, bits=4)
+        p4 = quantize_tree_int8(params, bits=4)  # group-wise (INT4_GROUP_SIZE)
+        p4pc = quantize_tree_int8(params, bits=4, group_size=None)  # legacy per-channel
+        p4g64 = quantize_tree_int8(params, bits=4, group_size=64)
 
     rng = np.random.default_rng(args.seed)
     side = int(args.tokens ** 0.5)
@@ -75,7 +105,9 @@ def main(argv=None):
 
     ref = np.asarray(run(params), np.float64)
     out = {}
-    for name, pp in (("int8", p8), ("int4", p4)):
+    for name, pp in (
+        ("int8", p8), ("int4", p4), ("int4_perchannel", p4pc), ("int4_g64", p4g64),
+    ):
         got = np.asarray(run(pp), np.float64)
         out[f"{name}_rel_dev"] = float(
             np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-12)
@@ -84,6 +116,7 @@ def main(argv=None):
     out["bf16_equiv_gib"] = round(tree_bytes(params) / 2**31, 3)  # f32/2
     out["width"] = cfg.num_attention_heads * cfg.attention_head_dim
     out["layers"] = [args.layers, args.single]
+    out["weights"] = args.weights
     out["int4_over_int8_dev_ratio"] = round(
         out["int4_rel_dev"] / max(out["int8_rel_dev"], 1e-12), 2
     )
