@@ -101,8 +101,46 @@ def build_dists_fn(dinov3_weights_path=None, size: str = "large"):
     return fn
 
 
+def build_lpips_fn(vgg_pth=None, lins_pth=None):
+    """LPIPS-VGG metric closure (utils/lpips.py). Random weights with a
+    warning when the official checkpoints aren't provided."""
+    import jax
+
+    from omgsr_tpu.utils.lpips import init_lpips, lpips, port_lpips
+
+    if vgg_pth and lins_pth:
+        params = port_lpips(vgg_pth, lins_pth)
+    else:
+        import logging
+
+        logging.getLogger("omgsr_tpu.eval_sr").warning(
+            "no --lpips_vgg/--lpips_lins — LPIPS uses random weights "
+            "(scores self-consistent, not comparable to published numbers)"
+        )
+        params = init_lpips(jax.random.key(0))
+    score = jax.jit(lpips)
+
+    def fn(a01, b01):
+        import jax.numpy as jnp
+
+        return float(score(params, jnp.asarray(a01)[None] * 2 - 1,
+                           jnp.asarray(b01)[None] * 2 - 1)[0])
+
+    return fn
+
+
+def _center_crop_multiple(a, b, n):
+    h = (a.shape[0] // n) * n
+    w = (a.shape[1] // n) * n
+    if not (h and w):
+        return a, b
+    y0, x0 = (a.shape[0] - h) // 2, (a.shape[1] - w) // 2
+    return a[y0:y0 + h, x0:x0 + w], b[y0:y0 + h, x0:x0 + w]
+
+
 def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False,
-                   dists_fn=None, niqe_pristine=None):
+                   dists_fn=None, niqe_pristine=None, metric_crop: int = 0,
+                   lpips_fn=None):
     import jax
     import jax.numpy as jnp
 
@@ -127,12 +165,23 @@ def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False,
             a, b = _to_y(a), _to_y(b)
         p, s = both(jnp.asarray(a)[None], jnp.asarray(b)[None])
         row = {"name": os.path.basename(sr_path), "psnr": float(p), "ssim": float(s)}
+        da, db = a_rgb, b_rgb
+        if metric_crop:
+            da, db = _center_crop_multiple(a_rgb, b_rgb, metric_crop)
         if dists_fn is not None:
-            row["dists"] = dists_fn(a_rgb, b_rgb)
+            row["dists"] = dists_fn(da, db)
+        if lpips_fn is not None:
+            row["lpips"] = lpips_fn(da, db)
         if niqe_pristine is not None:
             from omgsr_tpu.utils.niqe import niqe
 
-            row["niqe"] = niqe(a_rgb, niqe_pristine)
+            try:
+                row["niqe"] = niqe(a_rgb, niqe_pristine)
+            except ValueError as e:
+                # e.g. image smaller than the NIQE block grid — score the
+                # rest of the folder rather than aborting the whole eval
+                print(f"WARNING: NIQE skipped for {sr_path}: {e}")
+                row["niqe"] = float("nan")
         rows.append(row)
     return rows
 
@@ -157,6 +206,20 @@ def main(args=None):
                         help="DINOv3 ConvNeXt .pth for DISTS (random backbone "
                         "with a warning when absent)")
     parser.add_argument("--dinov3_size", type=str, default="large")
+    parser.add_argument("--metric_crop", type=int, default=0,
+                        help="center-crop images to multiples of N before the "
+                        "DISTS/LPIPS forwards (bounds one backbone compile "
+                        "per size bucket instead of per distinct image shape; "
+                        "0 = full-image, faithful to the reference impls)")
+    parser.add_argument("--lpips", action="store_true",
+                        help="also report LPIPS-VGG (lower=better; random "
+                        "weights with a warning unless --lpips_vgg and "
+                        "--lpips_lins are given)")
+    parser.add_argument("--lpips_vgg", type=str, default=None,
+                        help="torchvision vgg16 state-dict .pth")
+    parser.add_argument("--lpips_lins", type=str, default=None,
+                        help="lpips package linear weights "
+                        "(lpips/weights/v0.1/vgg.pth)")
     parser.add_argument("--niqe_params", type=str, default=None,
                         help="pristine-model .npz (keys mu/cov; build one with "
                         "utils.niqe.fit_pristine) — enables the no-reference "
@@ -187,12 +250,18 @@ def main(args=None):
 
         niqe_pristine = load_pristine(args.niqe_params)
 
+    lpips_fn = (
+        build_lpips_fn(args.lpips_vgg, args.lpips_lins) if args.lpips else None
+    )
     rows = evaluate_pairs(pairs, args.crop_border, args.y_channel,
-                          dists_fn=dists_fn, niqe_pristine=niqe_pristine)
+                          dists_fn=dists_fn, niqe_pristine=niqe_pristine,
+                          metric_crop=args.metric_crop, lpips_fn=lpips_fn)
     for r in rows:
         line = f"{r['name']:40s} PSNR {r['psnr']:7.3f}  SSIM {r['ssim']:.4f}"
         if "dists" in r:
             line += f"  DISTS {r['dists']:.4f}"
+        if "lpips" in r:
+            line += f"  LPIPS {r['lpips']:.4f}"
         if "niqe" in r:
             line += f"  NIQE {r['niqe']:.3f}"
         print(line)
@@ -203,18 +272,29 @@ def main(args=None):
         "crop_border": args.crop_border,
         "y_channel": args.y_channel,
     }
-    for k in ("dists", "niqe"):
+    for k in ("dists", "lpips", "niqe"):
         if rows and k in rows[0]:
-            summary[f"{k}_mean"] = float(np.mean([r[k] for r in rows]))
+            vals = [r[k] for r in rows if np.isfinite(r[k])]
+            if vals:
+                summary[f"{k}_mean"] = float(np.mean(vals))
+                if len(vals) < len(rows):
+                    summary[f"{k}_n"] = len(vals)
     print(
         f"mean over {summary['n']} images: PSNR {summary['psnr_mean']:.3f} "
         f"SSIM {summary['ssim_mean']:.4f}"
         + (f" DISTS {summary['dists_mean']:.4f}" if "dists_mean" in summary else "")
+        + (f" LPIPS {summary['lpips_mean']:.4f}" if "lpips_mean" in summary else "")
         + (f" NIQE {summary['niqe_mean']:.3f}" if "niqe_mean" in summary else "")
     )
     if args.output:
+        # skipped metrics are NaN in-process; serialize as null (strict JSON)
+        ser = [
+            {k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+             for k, v in r.items()}
+            for r in rows
+        ]
         with open(args.output, "w") as f:
-            json.dump({"summary": summary, "per_image": rows}, f, indent=2)
+            json.dump({"summary": summary, "per_image": ser}, f, indent=2)
     return summary
 
 

@@ -247,6 +247,9 @@ def parse_args(argv=None):
                         help="int8 DiT serving (pipeline=f; 12B fits one 16 GB "
                         "v5e); int4: group-wise minimum-memory mode (~5.95 GB "
                         "— prefer int8 when HBM allows)")
+    parser.add_argument("--quantize_min_params", type=int, default=1 << 16,
+                        help="only quantize kernels with at least this many "
+                        "parameters (pipeline=f)")
     parser.add_argument("--color_fix_dispatch", type=str, default="fused",
                         choices=["fused", "split"],
                         help="fused: color fix inside the SR graph (one "

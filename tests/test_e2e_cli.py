@@ -104,8 +104,9 @@ def test_infer_omgsr_s_cli(sd_checkpoint, input_images, tmp_path):
     ).mean() > 1
 
 
-def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):
-    root = tmp_path_factory.mktemp("fake_flux")
+def make_fake_flux_checkpoint(root):
+    """Fabricate a tiny HF-layout FLUX checkpoint dir under `root` (shared
+    with test_serving)."""
     (root / "vae").mkdir()
     (root / "transformer").mkdir()
     vp = V.init_vae(jax.random.key(0), TINY_FLUX_VAE)
@@ -126,6 +127,11 @@ def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):
              "pooled_projection_dim": 8, "axes_dims_rope": [2, 4, 2], "in_channels": 64}
         )
     )
+    return root
+
+
+def test_infer_omgsr_f_cli(input_images, tmp_path_factory, tmp_path):
+    root = make_fake_flux_checkpoint(tmp_path_factory.mktemp("fake_flux"))
 
     from omgsr_tpu.cli.infer_omgsr_f import main, parse_args
 

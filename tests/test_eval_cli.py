@@ -79,6 +79,68 @@ def test_eval_ambiguous_suffix_not_paired(folders, capsys):
     assert "a_1" in out and "a_2" in out
 
 
+def test_eval_niqe_small_image_skipped_not_fatal(folders, tmp_path, capsys):
+    """A too-small image must skip NIQE with a warning (row NaN), not abort
+    the whole evaluation; the summary omits the mean when nothing scored."""
+    sr, gt, _ = folders  # 40x48 fixtures are below the NIQE block minimum
+    mdl = tmp_path / "pristine.npz"
+    np.savez(mdl, mu=np.zeros(36), cov=np.eye(36))
+    out = tmp_path / "m.json"
+    summary = eval_sr.main(
+        ["--sr_dir", str(sr), "--gt_dir", str(gt),
+         "--niqe_params", str(mdl), "--output", str(out)]
+    )
+    assert summary["n"] == 2 and "niqe_mean" not in summary
+    data = json.load(open(out))
+    assert all(r["niqe"] is None for r in data["per_image"])  # strict-JSON null
+    assert "NIQE skipped" in capsys.readouterr().out
+
+
+def test_eval_metric_crop_buckets_one_shape(tmp_path, monkeypatch):
+    """--metric_crop N center-crops both images to multiples of N before the
+    DISTS/LPIPS forwards, so shape-diverse folders compile one bucket, not
+    one graph per image shape."""
+    gt = tmp_path / "gt"
+    sr = tmp_path / "sr"
+    gt.mkdir()
+    sr.mkdir()
+    rng = np.random.default_rng(1)
+    for name, (h, w) in {"p": (70, 66), "q": (66, 70)}.items():
+        img = rng.uniform(0.2, 0.8, (h, w, 3)).astype(np.float32)
+        _save(gt / f"{name}.png", img)
+        _save(sr / f"{name}.png", np.clip(img + 0.05, 0, 1))
+    seen = []
+
+    def fake_build(path, size):
+        def fn(a, b):
+            assert a.shape == b.shape
+            seen.append(a.shape)
+            return 0.25
+
+        return fn
+
+    monkeypatch.setattr(eval_sr, "build_dists_fn", fake_build)
+    summary = eval_sr.main(
+        ["--sr_dir", str(sr), "--gt_dir", str(gt), "--dists", "--metric_crop", "64"]
+    )
+    assert summary["dists_mean"] == pytest.approx(0.25)
+    assert set(seen) == {(64, 64, 3)}  # both shapes landed in one bucket
+
+
+def test_eval_lpips_random_weight_path(folders, tmp_path):
+    """--lpips without checkpoints: random-weight LPIPS column is finite,
+    zero for the identical pair, positive for the offset pair."""
+    sr, gt, _ = folders
+    out = tmp_path / "m.json"
+    summary = eval_sr.main(
+        ["--sr_dir", str(sr), "--gt_dir", str(gt), "--lpips", "--output", str(out)]
+    )
+    assert np.isfinite(summary["lpips_mean"])
+    by_name = {r["name"]: r for r in json.load(open(out))["per_image"]}
+    assert by_name["a.png"]["lpips"] == pytest.approx(0.0, abs=1e-5)
+    assert by_name["b_out.png"]["lpips"] > 1e-5
+
+
 def test_eval_size_mismatch_raises(tmp_path):
     gt = tmp_path / "gt"
     sr = tmp_path / "sr"

@@ -435,3 +435,42 @@ class TestServeCLI:
 
         with pytest.raises(SystemExit):
             parse_args(["--pipeline", "f"])  # --flux_path missing
+
+    def test_build_and_drive_f_quantized(self, tmp_path_factory, tmp_path):
+        """Regression: serving a quantized -f pipeline must build (the serve
+        parser once lacked --quantize_min_params while build_pipeline read
+        it), and one request must round-trip through the int8 DiT."""
+        from omgsr_tpu.cli.serve import main, parse_args
+        from tests.test_e2e_cli import make_fake_flux_checkpoint
+
+        ckpt = make_fake_flux_checkpoint(tmp_path_factory.mktemp("fake_flux_serve"))
+        rng = np.random.default_rng(0)
+        np.savez(
+            tmp_path / "prompt_f.npz",
+            prompt_embeds=rng.normal(size=(1, 5, 16)).astype(np.float32),
+            pooled_prompt_embeds=rng.normal(size=(1, 8)).astype(np.float32),
+        )
+        args = parse_args(
+            [
+                "--pipeline", "f",
+                "--flux_path", str(ckpt),
+                "--prompt_npz", str(tmp_path / "prompt_f.npz"),
+                "--process_size", "64", "--upscale", "4",
+                "--weight_dtype", "fp32", "--port", "0",
+                "--quantize", "int8", "--quantize_min_params", "1",
+            ]
+        )
+        assert args.mid_timestep == 244  # -f default filled in
+        server, httpd = main(args, serve_forever=False)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        host, port = httpd.server_address[:2]
+        try:
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/sr", data=_png_bytes(24, 16), method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                out = Image.open(io.BytesIO(r.read()))
+            assert out.size == (64, 96)
+        finally:
+            server.shutdown()

@@ -136,11 +136,65 @@ def test_serving_load_soak(tmp_path):
         for out, _ in burst:
             brows.extend(json.loads(out.read_text()))
         bstatus = {r["status"] for r in brows}
-        assert bstatus <= {200, 503}, bstatus
-        assert any(r["status"] == 503 for r in brows) or len(brows) == sum(
-            1 for r in brows if r["status"] == 200
-        )  # 503s expected under 6-way burst vs depth 4; all-200 means the
-        #    tiny model outran the clients — still a pass (no other failures)
+        assert bstatus <= {200, 503}, bstatus  # no other failure mode under burst
+
+        # ---- phase 3: deterministic backpressure — stall the dispatcher so
+        # the queue MUST overfill (the free-running burst above can be outrun
+        # by a fast model, which would make "any 503" unassertable)
+        import urllib.error
+        import urllib.request
+
+        orig_fn = srv.infer_fn
+        gate = threading.Event()
+
+        def stalled(lq, i, _orig=orig_fn):
+            gate.wait(30)  # bounded: never deadlocks the dispatcher
+            return _orig(lq, i)
+
+        srv.infer_fn = stalled
+        statuses = []
+        lock = threading.Lock()
+
+        def one():
+            try:
+                req = urllib.request.Request(
+                    base + "/v1/sr?align=nofix", data=_png8(), method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    r.read()
+                    with lock:
+                        statuses.append(r.status)
+            except urllib.error.HTTPError as e:
+                with lock:
+                    statuses.append(e.code)
+
+        try:
+            occupier = threading.Thread(target=one)
+            occupier.start()
+            deadline = time.time() + 20
+            while srv.metrics()["in_flight"] < 1 and time.time() < deadline:
+                time.sleep(0.02)
+            assert srv.metrics()["in_flight"] >= 1  # dispatcher is stalled
+            flood = [threading.Thread(target=one) for _ in range(10)]
+            for t in flood:
+                t.start()
+            # queue_depth=4: of 10 concurrent submissions behind a stalled
+            # dispatcher, the overflow must be rejected with 503 promptly
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                with lock:
+                    if any(s == 503 for s in statuses):
+                        break
+                time.sleep(0.02)
+            with lock:
+                assert any(s == 503 for s in statuses), statuses
+        finally:
+            gate.set()
+            srv.infer_fn = orig_fn
+        occupier.join(timeout=60)
+        for t in flood:
+            t.join(timeout=60)
+        assert set(statuses) <= {200, 503} and 200 in statuses, statuses
 
         # recovery: a single request after the burst succeeds
         out_png = srv.process_image(_png8(), align="adain")

@@ -154,6 +154,13 @@ class PairDirLoader:
     def _load(self, path):
         return np.asarray(self._Image.open(path), np.float32) / 127.5 - 1.0
 
+    @staticmethod
+    def _hq_path(lq_path):
+        # swap the prefix on the basename only — an "lq-" substring in the
+        # workdir path must not be rewritten
+        d, b = os.path.split(lq_path)
+        return os.path.join(d, "hq-" + b[len("lq-"):])
+
     def __iter__(self):
         order = np.random.default_rng(self.seed + self.epoch).permutation(len(self.lq_paths))
         self.epoch += 1
@@ -162,7 +169,7 @@ class PairDirLoader:
             yield {
                 "lq": np.stack([self._load(self.lq_paths[j]) for j in idxs]),
                 "hq": np.stack(
-                    [self._load(self.lq_paths[j].replace("lq-", "hq-")) for j in idxs]
+                    [self._load(self._hq_path(self.lq_paths[j])) for j in idxs]
                 ),
             }
 
@@ -187,12 +194,34 @@ def _base_cfg(args, launch_idx: int):
     )
 
 
+def _arm_self_kill(jsonl_path: str, kill_at: int):
+    """Deterministic mid-train hard death: a daemon thread polls this child's
+    OWN metrics stream every 50 ms and SIGKILLs the process once `kill_at` is
+    logged. The parent's 2 s poll is only a backstop — on a fast (CPU drill)
+    run the child could otherwise finish inside one parent poll window and the
+    soak would silently skip its kill/resume validation."""
+    import threading
+
+    def watch():
+        while True:
+            if _jsonl_last_step(jsonl_path) >= kill_at:
+                os.kill(os.getpid(), signal.SIGKILL)
+            time.sleep(0.05)
+
+    threading.Thread(target=watch, daemon=True, name="soak-self-kill").start()
+
+
 def run_child(args):
     import jax
     import jax.numpy as jnp
 
     if args.family == "tiny":
         jax.config.update("jax_platforms", "cpu")
+    if args.launch_idx == 0 and args.kill_at and args.kill_at < args.steps:
+        _arm_self_kill(
+            os.path.join(args.workdir, f"metrics_{args.launch_idx}.jsonl"),
+            args.kill_at,
+        )
     from omgsr_tpu.losses.discriminator import init_discriminator
     from omgsr_tpu.losses.dists import init_dists
     from omgsr_tpu.models import convnext as CN
@@ -352,6 +381,16 @@ def analyze(args, launches: list[dict]) -> tuple[bool, str]:
         checks.append((name, bool(ok), detail))
         return ok
 
+    # 0. the abrupt-death + resume path actually ran: when a kill is
+    # configured, a soak that completed in one launch validated nothing
+    if args.kill_at and args.kill_at < args.steps:
+        check(
+            "kill_resume_exercised",
+            any(l["reason"].startswith("planned SIGKILL") for l in launches)
+            and len(launches) >= 2,
+            f"launch reasons: {[l['reason'] for l in launches]}",
+        )
+
     # 1. finiteness everywhere
     bad = [
         (li, r["step"], k)
@@ -500,6 +539,8 @@ def run_parent(args):
     launches = []
     launch_idx = 0
     killed_once = False
+    best_step = -1
+    clean_noprogress = 0
     while True:
         jsonl = os.path.join(args.workdir, f"metrics_{launch_idx}.jsonl")
         t0 = time.time()
@@ -524,14 +565,35 @@ def run_parent(args):
                 break
         rc = child.returncode
         last = _jsonl_last_step(jsonl)
+        if (
+            not planned_kill
+            and not killed_once
+            and rc == -signal.SIGKILL
+            and args.kill_at
+            and args.kill_at < args.steps
+            and last >= args.kill_at
+        ):
+            # the in-child watchdog (_arm_self_kill) fired before our poll did
+            planned_kill = True
+            killed_once = True
         launches.append({
             "reason": "planned SIGKILL" if planned_kill
             else ("clean exit" if rc == 0 else f"crash rc={rc}"),
             "rc": rc, "last_step": last, "wall_s": time.time() - t0,
             "platform": "tpu" if args.family != "tiny" else "cpu",
         })
-        if rc == 0 and last >= args.steps:
+        prev_best = best_step
+        best_step = max(best_step, last)
+        if rc == 0 and best_step >= args.steps:
+            # a resumed child whose checkpoint is already at the target runs
+            # zero steps and logs nothing — judge progress across ALL
+            # launches, not just this one's metrics file
             break
+        if rc == 0 and last <= prev_best:
+            clean_noprogress += 1
+            if clean_noprogress > args.max_retries:
+                print("== repeated clean exits without progress, giving up ==")
+                break
         if not planned_kill and rc != 0:
             if len(launches) > args.max_retries + (1 if killed_once else 0) + 1:
                 print("== too many crashes, giving up ==")
