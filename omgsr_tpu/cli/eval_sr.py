@@ -129,6 +129,59 @@ def build_lpips_fn(vgg_pth=None, lins_pth=None):
     return fn
 
 
+def build_clipiqa_fn(clip_vision_path=None, prompts_npz=None, cfg=None):
+    """CLIP-IQA no-reference metric closure (models/clip_vision.py): softmax
+    over cosine similarity against an antonym prompt pair, higher=better.
+    The built-in preprocessing resizes to the tower's input size, so every
+    image shape shares ONE compiled graph."""
+    import jax
+
+    from omgsr_tpu.models.clip_vision import (
+        CLIP_L_VISION, clipiqa_score, init_clip_vision,
+    )
+
+    cfg = cfg or CLIP_L_VISION
+    if clip_vision_path:
+        from omgsr_tpu.convert.porters import port_clip_vision
+
+        params = port_clip_vision(clip_vision_path, cfg=cfg)
+        if "visual_projection" not in params:
+            raise SystemExit(
+                "--clip_vision_path checkpoint has no visual_projection head "
+                "(CLIP-IQA needs CLIPModel / CLIPVisionModelWithProjection "
+                "weights)"
+            )
+    else:
+        import logging
+
+        logging.getLogger("omgsr_tpu.eval_sr").warning(
+            "no --clip_vision_path — CLIP-IQA uses a random tower (scores "
+            "self-consistent, not comparable to published numbers)"
+        )
+        params = init_clip_vision(jax.random.key(0), cfg)
+    if prompts_npz:
+        import numpy as _np
+
+        prompts = _np.load(prompts_npz)["prompt_embeds"]
+        if prompts.shape != (2, cfg.projection_dim):
+            raise SystemExit(
+                f"--clipiqa_prompts_npz prompt_embeds must be "
+                f"(2, {cfg.projection_dim}), got {prompts.shape}"
+            )
+    else:
+        prompts = np.asarray(
+            jax.random.normal(jax.random.key(1), (2, cfg.projection_dim))
+        )
+    score = jax.jit(lambda img: clipiqa_score(params, cfg, img, prompts))
+
+    def fn(a01):
+        import jax.numpy as jnp
+
+        return float(score(jnp.asarray(a01)[None])[0])
+
+    return fn
+
+
 def _center_crop_multiple(a, b, n):
     h = (a.shape[0] // n) * n
     w = (a.shape[1] // n) * n
@@ -140,7 +193,7 @@ def _center_crop_multiple(a, b, n):
 
 def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False,
                    dists_fn=None, niqe_pristine=None, metric_crop: int = 0,
-                   lpips_fn=None):
+                   lpips_fn=None, clipiqa_fn=None):
     import jax
     import jax.numpy as jnp
 
@@ -172,6 +225,8 @@ def evaluate_pairs(pairs, crop_border: int = 0, y_channel: bool = False,
             row["dists"] = dists_fn(da, db)
         if lpips_fn is not None:
             row["lpips"] = lpips_fn(da, db)
+        if clipiqa_fn is not None:
+            row["clipiqa"] = clipiqa_fn(a_rgb)  # no-reference: SR image only
         if niqe_pristine is not None:
             from omgsr_tpu.utils.niqe import niqe
 
@@ -220,6 +275,17 @@ def main(args=None):
     parser.add_argument("--lpips_lins", type=str, default=None,
                         help="lpips package linear weights "
                         "(lpips/weights/v0.1/vgg.pth)")
+    parser.add_argument("--clipiqa", action="store_true",
+                        help="also report CLIP-IQA (no-reference, "
+                        "higher=better; random tower with a warning unless "
+                        "--clip_vision_path is given)")
+    parser.add_argument("--clip_vision_path", type=str, default=None,
+                        help="HF CLIPModel / CLIPVisionModelWithProjection "
+                        "dir (safetensors) for CLIP-IQA")
+    parser.add_argument("--clipiqa_prompts_npz", type=str, default=None,
+                        help=".npz with prompt_embeds (2, proj_dim): CLIP "
+                        "text embeddings of the antonym prompt pair "
+                        "('Good photo.', 'Bad photo.')")
     parser.add_argument("--niqe_params", type=str, default=None,
                         help="pristine-model .npz (keys mu/cov; build one with "
                         "utils.niqe.fit_pristine) — enables the no-reference "
@@ -253,15 +319,22 @@ def main(args=None):
     lpips_fn = (
         build_lpips_fn(args.lpips_vgg, args.lpips_lins) if args.lpips else None
     )
+    clipiqa_fn = (
+        build_clipiqa_fn(args.clip_vision_path, args.clipiqa_prompts_npz)
+        if args.clipiqa else None
+    )
     rows = evaluate_pairs(pairs, args.crop_border, args.y_channel,
                           dists_fn=dists_fn, niqe_pristine=niqe_pristine,
-                          metric_crop=args.metric_crop, lpips_fn=lpips_fn)
+                          metric_crop=args.metric_crop, lpips_fn=lpips_fn,
+                          clipiqa_fn=clipiqa_fn)
     for r in rows:
         line = f"{r['name']:40s} PSNR {r['psnr']:7.3f}  SSIM {r['ssim']:.4f}"
         if "dists" in r:
             line += f"  DISTS {r['dists']:.4f}"
         if "lpips" in r:
             line += f"  LPIPS {r['lpips']:.4f}"
+        if "clipiqa" in r:
+            line += f"  CLIPIQA {r['clipiqa']:.4f}"
         if "niqe" in r:
             line += f"  NIQE {r['niqe']:.3f}"
         print(line)
@@ -272,7 +345,7 @@ def main(args=None):
         "crop_border": args.crop_border,
         "y_channel": args.y_channel,
     }
-    for k in ("dists", "lpips", "niqe"):
+    for k in ("dists", "lpips", "clipiqa", "niqe"):
         if rows and k in rows[0]:
             vals = [r[k] for r in rows if np.isfinite(r[k])]
             if vals:
@@ -284,6 +357,7 @@ def main(args=None):
         f"SSIM {summary['ssim_mean']:.4f}"
         + (f" DISTS {summary['dists_mean']:.4f}" if "dists_mean" in summary else "")
         + (f" LPIPS {summary['lpips_mean']:.4f}" if "lpips_mean" in summary else "")
+        + (f" CLIPIQA {summary['clipiqa_mean']:.4f}" if "clipiqa_mean" in summary else "")
         + (f" NIQE {summary['niqe_mean']:.3f}" if "niqe_mean" in summary else "")
     )
     if args.output:

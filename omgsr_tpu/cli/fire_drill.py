@@ -12,8 +12,9 @@ One command exercises the ENTIRE real-weight chain at real architecture:
      the dir through convert.porters (leaf-set validation on) and runs the
      one-step SR pipeline end-to-end (infer/omgsr_s_infer_model.py:11-23 is
      the reference chain being rehearsed);
-  3. SCORE: cli.eval_sr computes PSNR/SSIM of the outputs vs the GT dir
-     (README.md:45-90 eval protocol), writing metrics JSON;
+  3. SCORE: cli.eval_sr computes PSNR/SSIM + DISTS/LPIPS/NIQE of the
+     outputs vs the GT dir (README.md:45-90 eval protocol), writing
+     metrics JSON;
   4. ADAPTER ROUND-TRIP: a LoRA tree over the full ported base is exported
      (save_adapter) and re-imported (load_adapter), asserted leaf-exact;
   5. TORCH PARITY: cli.validate_checkpoint re-ports the same weights and
@@ -316,7 +317,8 @@ def run_drill(args) -> dict:
     metrics_path = os.path.join(args.root, "sr_metrics.json")
     eval_main([
         "--sr_dir", out_dir, "--gt_dir", paths["gt_dir"],
-        "--dists", "--dinov3_size", "tiny", "--niqe_params", niqe_path,
+        "--dists", "--dinov3_size", "tiny", "--lpips",
+        "--niqe_params", niqe_path,
         "--output", metrics_path,
     ])
     with open(metrics_path) as f:

@@ -170,6 +170,35 @@ def port_clip_text(path: str, cfg=None, dtype=jnp.float32, validate: bool = True
     return params
 
 
+def port_clip_vision(path: str, cfg=None, dtype=jnp.float32, validate: bool = True):
+    """HF CLIPVisionModel[WithProjection] / full CLIPModel dir -> vision
+    param tree (text tower ignored; visual_projection kept when present)."""
+    import jax
+
+    from omgsr_tpu.models.clip_vision import CLIP_L_VISION, init_clip_vision
+
+    cfg = cfg or CLIP_L_VISION
+    tensors = load_safetensors_dir(path)
+    params = _convert(
+        tensors,
+        keep_2d=("position_embedding.weight",),
+        skip=(
+            "text_model", "text_projection", "logit_scale",
+            "vision_model.embeddings.position_ids",
+        ),
+        dtype=dtype,
+    )
+    if validate:
+        expected = jax.eval_shape(
+            lambda k: init_clip_vision(
+                k, cfg, with_projection="visual_projection" in params
+            ),
+            jax.random.key(0),
+        )
+        _validate_against(params, expected, "clip_vision")
+    return params
+
+
 def port_t5_encoder(path: str, cfg=None, dtype=jnp.bfloat16, validate: bool = True):
     import jax
 

@@ -141,6 +141,27 @@ def test_eval_lpips_random_weight_path(folders, tmp_path):
     assert by_name["b_out.png"]["lpips"] > 1e-5
 
 
+def test_eval_clipiqa_random_tower_path(folders, monkeypatch):
+    """--clipiqa: no-reference scores in [0,1] from one shared compiled
+    graph (built-in resize); tiny tower substituted for speed."""
+    import functools
+
+    from omgsr_tpu.models.clip_vision import CLIPVisionConfig
+
+    tiny = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8,
+        projection_dim=16,
+    )
+    monkeypatch.setattr(
+        eval_sr, "build_clipiqa_fn",
+        functools.partial(eval_sr.build_clipiqa_fn, cfg=tiny),
+    )
+    sr, gt, _ = folders
+    summary = eval_sr.main(["--sr_dir", str(sr), "--gt_dir", str(gt), "--clipiqa"])
+    assert 0.0 <= summary["clipiqa_mean"] <= 1.0
+
+
 def test_eval_size_mismatch_raises(tmp_path):
     gt = tmp_path / "gt"
     sr = tmp_path / "sr"

@@ -51,6 +51,7 @@ def _run_drill(family, root):
     summary = report["stages"]["eval_sr"]["summary"]
     assert np.isfinite(summary["psnr_mean"])
     assert 0.0 <= summary["ssim_mean"] <= 1.0
+    assert np.isfinite(summary["lpips_mean"])  # perceptual path exercised
     # the scratch tree is cleaned, only the report remains
     assert os.listdir(str(root)) == ["drill_report.json"]
     return report
