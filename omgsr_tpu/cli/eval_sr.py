@@ -137,7 +137,10 @@ def build_clipiqa_fn(clip_vision_path=None, prompts_npz=None, cfg=None):
     import jax
 
     from omgsr_tpu.models.clip_vision import (
-        CLIP_L_VISION, clipiqa_score, init_clip_vision,
+        CLIP_L_VISION,
+        clip_preprocess,
+        clipiqa_score_preprocessed,
+        init_clip_vision,
     )
 
     cfg = cfg or CLIP_L_VISION
@@ -151,6 +154,23 @@ def build_clipiqa_fn(clip_vision_path=None, prompts_npz=None, cfg=None):
                 "(CLIP-IQA needs CLIPModel / CLIPVisionModelWithProjection "
                 "weights)"
             )
+        if not prompts_npz:
+            # real tower + random prompts would yield plausible-looking but
+            # meaningless scores — encode the antonym pair from the same dir
+            # (works when it holds full CLIPModel weights + tokenizer files)
+            from omgsr_tpu.models.clip_vision import (
+                clipiqa_prompt_embeds_from_clip_dir,
+            )
+
+            try:
+                prompts = clipiqa_prompt_embeds_from_clip_dir(clip_vision_path)
+            except Exception as e:
+                raise SystemExit(
+                    "--clipiqa with a real tower needs real prompt "
+                    "embeddings: pass --clipiqa_prompts_npz (build one with "
+                    "models.clip_vision.clipiqa_prompt_embeds_from_clip_dir) "
+                    f"— auto-encode from the checkpoint dir failed: {e}"
+                )
     else:
         import logging
 
@@ -159,6 +179,10 @@ def build_clipiqa_fn(clip_vision_path=None, prompts_npz=None, cfg=None):
             "self-consistent, not comparable to published numbers)"
         )
         params = init_clip_vision(jax.random.key(0), cfg)
+        if not prompts_npz:
+            prompts = np.asarray(
+                jax.random.normal(jax.random.key(1), (2, cfg.projection_dim))
+            )
     if prompts_npz:
         import numpy as _np
 
@@ -168,16 +192,18 @@ def build_clipiqa_fn(clip_vision_path=None, prompts_npz=None, cfg=None):
                 f"--clipiqa_prompts_npz prompt_embeds must be "
                 f"(2, {cfg.projection_dim}), got {prompts.shape}"
             )
-    else:
-        prompts = np.asarray(
-            jax.random.normal(jax.random.key(1), (2, cfg.projection_dim))
-        )
-    score = jax.jit(lambda img: clipiqa_score(params, cfg, img, prompts))
+    # params/prompts are jit ARGS (captured-constant weights crash the
+    # remote-compile transport — CLAUDE.md); the shape-dependent resize runs
+    # eagerly OUTSIDE the jit so every image shape shares one compiled tower
+    score = jax.jit(
+        lambda p, t, px: clipiqa_score_preprocessed(p, cfg, px, t)
+    )
 
     def fn(a01):
         import jax.numpy as jnp
 
-        return float(score(jnp.asarray(a01)[None])[0])
+        px = clip_preprocess(jnp.asarray(a01)[None], cfg)
+        return float(score(params, prompts, px)[0])
 
     return fn
 

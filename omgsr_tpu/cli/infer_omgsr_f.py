@@ -60,7 +60,7 @@ def build_pipeline(args, dtype):
             flux_params,
             act_quant=args.quantize == "int8_w8a8",
             bits=4 if args.quantize == "int4" else 8,
-            min_params=getattr(args, "quantize_min_params", 1 << 16),
+            min_params=args.quantize_min_params,
         )
     pipe = OMGSRFPipeline(
         vae_params,

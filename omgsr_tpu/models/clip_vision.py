@@ -191,6 +191,19 @@ def clipiqa_prompt_embeds_from_clip_dir(
     return np.asarray(pooled, np.float32) @ proj
 
 
+def clipiqa_score_preprocessed(params, cfg: CLIPVisionConfig, pixel_values,
+                               prompt_embeds, logit_scale: float = 100.0):
+    """CLIP-IQA on already-CLIP-preprocessed (B,S,S,3) pixels — the jittable
+    fixed-shape core (jit THIS with params/prompts as args; the resize in
+    `clip_preprocess` is shape-dependent and belongs outside the jit)."""
+    img = clip_image_features(params, cfg, pixel_values)
+    img = img / (jnp.linalg.norm(img, axis=-1, keepdims=True) + 1e-10)
+    txt = jnp.asarray(prompt_embeds, img.dtype)
+    txt = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-10)
+    logits = logit_scale * img @ txt.T  # (B, 2)
+    return jax.nn.softmax(logits, axis=-1)[:, 0]
+
+
 def clipiqa_score(params, cfg: CLIPVisionConfig, rgb01, prompt_embeds,
                   logit_scale: float = 100.0):
     """CLIP-IQA: softmax over cosine similarities against an antonym prompt
@@ -198,12 +211,9 @@ def clipiqa_score(params, cfg: CLIPVisionConfig, rgb01, prompt_embeds,
 
     prompt_embeds: (2, projection_dim) text embeddings — row 0 the positive
     prompt ("Good photo."), row 1 the negative ("Bad photo.") — precomputed
-    (the text tower is models.clip_text + the CLIP tokenizer; an .npz hatch
-    keeps this weight-free offline, same pattern as cli.prompts).
+    (see `clipiqa_prompt_embeds_from_clip_dir`; an .npz hatch keeps this
+    weight-free offline, same pattern as cli.prompts).
     """
-    img = clip_image_features(params, cfg, clip_preprocess(rgb01, cfg))
-    img = img / (jnp.linalg.norm(img, axis=-1, keepdims=True) + 1e-10)
-    txt = jnp.asarray(prompt_embeds, img.dtype)
-    txt = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-10)
-    logits = logit_scale * img @ txt.T  # (B, 2)
-    return jax.nn.softmax(logits, axis=-1)[:, 0]
+    return clipiqa_score_preprocessed(
+        params, cfg, clip_preprocess(rgb01, cfg), prompt_embeds, logit_scale
+    )

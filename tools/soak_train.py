@@ -217,7 +217,9 @@ def run_child(args):
 
     if args.family == "tiny":
         jax.config.update("jax_platforms", "cpu")
-    if args.launch_idx == 0 and args.kill_at and args.kill_at < args.steps:
+    # the parent passes kill_at=0 once the planned kill has happened, so any
+    # pre-kill launch (including crash retries) arms the watchdog
+    if args.kill_at and args.kill_at < args.steps:
         _arm_self_kill(
             os.path.join(args.workdir, f"metrics_{args.launch_idx}.jsonl"),
             args.kill_at,
@@ -322,11 +324,12 @@ def run_child(args):
 # parent role: orchestration + analysis
 # --------------------------------------------------------------------------
 
-def _spawn(role: str, args, launch_idx: int = 0) -> subprocess.Popen:
+def _spawn(role: str, args, launch_idx: int = 0, kill_at=None) -> subprocess.Popen:
     cmd = [
         sys.executable, os.path.abspath(__file__), "--role", role,
         "--family", args.family, "--workdir", args.workdir,
-        "--steps", str(args.steps), "--kill_at", str(args.kill_at),
+        "--steps", str(args.steps),
+        "--kill_at", str(args.kill_at if kill_at is None else kill_at),
         "--ckpt_every", str(args.ckpt_every), "--n_pairs", str(args.n_pairs),
         "--resolution", str(args.resolution), "--seed", str(args.seed),
         "--launch_idx", str(launch_idx),
@@ -536,6 +539,19 @@ def run_parent(args):
         if rc != 0:
             raise SystemExit(f"prep failed rc={rc}")
 
+    # a reused workdir keeps its (expensive) pairs but must not keep metric
+    # streams or checkpoints: stale metrics would trip the self-kill watchdog
+    # instantly and satisfy the cross-launch progress check with a false PASS
+    stale = glob.glob(os.path.join(args.workdir, "metrics_*.jsonl"))
+    run_dir = os.path.join(args.workdir, "run")
+    if stale or os.path.isdir(run_dir):
+        import shutil
+
+        print("== clearing stale soak state (metrics_*.jsonl, run/) ==")
+        for p in stale:
+            os.remove(p)
+        shutil.rmtree(run_dir, ignore_errors=True)
+
     launches = []
     launch_idx = 0
     killed_once = False
@@ -546,7 +562,8 @@ def run_parent(args):
         t0 = time.time()
         print(f"== launch {launch_idx}: child to step {args.steps} "
               f"({'resume' if launch_idx else 'fresh'}) ==")
-        child = _spawn("child", args, launch_idx)
+        child = _spawn("child", args, launch_idx,
+                       kill_at=0 if killed_once else None)
         planned_kill = False
         while child.poll() is None:
             time.sleep(2.0)
